@@ -1,13 +1,138 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Relational => R, TextAnalysis => T}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one implemented operator from SURVEY.md §2;
+  * [[oracleSql]] carries the DuckDB-equivalent ANSI SQL for the driver's
+  * correctness gate (column names aliased identically on both sides).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    R.q2RevenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (R.q1PricingSummary _),
+    "q2_revenue_by_nation" -> (R.q2RevenueByNation _),
+    "q3_top_orders" -> (R.q3TopOrders _),
+    "q4_semi_join" -> (R.q4SemiJoin _),
+    "q5_anti_join" -> (R.q5AntiJoin _),
+    "q6_forecast_revenue" -> (R.q6ForecastRevenue _),
+    "q7_window_topk" -> (R.q7WindowTopK _),
+    "q8_running_total" -> (R.q8RunningTotal _),
+    "q9_events_hourly" -> (R.q9EventsHourly _),
+    "q10_daily_users" -> (R.q10DailyUsers _),
+    "q11_part_stats" -> (R.q11PartStats _),
+    "q12_items_per_order" -> (R.q12ItemsPerOrder _),
+    "d1_doc_stats" -> (T.d1DocStats _),
+    "d2_exact_dedup_stats" -> (T.d2ExactDedupStats _),
+    "d3_dup_groups" -> (T.d3DupGroups _),
+    "d4_token_counts" -> (T.d4TokenCounts _),
+    "d5_quality_signals" -> (T.d5QualitySignals _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT orderkey, orderstatus, revenue FROM (
+        |  SELECT l_orderkey AS orderkey, o_orderstatus AS orderstatus,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey, o_orderstatus)
+        |ORDER BY revenue DESC, orderkey ASC LIMIT 10""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07""".stripMargin,
+    "q7_window_topk" ->
+      """SELECT suppkey, orderkey, linenumber, price, rnk FROM (
+        |  SELECT l_suppkey AS suppkey, l_orderkey AS orderkey,
+        |    l_linenumber AS linenumber, round(l_extendedprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 3""".stripMargin,
+    "q8_running_total" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders""".stripMargin,
+    "q9_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q10_daily_users" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q11_part_stats" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+        |  min(p_size) AS min_size, max(p_size) AS max_size
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "q12_items_per_order" ->
+      """SELECT o_orderstatus, sum(n_items) AS total_items, count(*) AS n_orders
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+        |) ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    "d1_doc_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |  min(length(text)) AS min_len, max(length(text)) AS max_len
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "d2_exact_dedup_stats" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique
+        |FROM documents GROUP BY lang""".stripMargin,
+    "d3_dup_groups" ->
+      """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS rep_doc_id
+        |FROM documents GROUP BY text HAVING count(*) > 1""".stripMargin,
+    "d4_token_counts" ->
+      """SELECT lang,
+        |  sum(n_tokens) AS total_tokens, max(n_tokens) AS max_tokens,
+        |  count(*) AS n_docs
+        |FROM (SELECT lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents)
+        |GROUP BY lang""".stripMargin,
+    "d5_quality_signals" ->
+      """SELECT doc_id, length(text) AS n_char,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+        |FROM documents""".stripMargin,
+  )
 }
