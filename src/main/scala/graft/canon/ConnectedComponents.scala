@@ -1,0 +1,73 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over alias/sameAs edges as iterative DataFrame
+  * self-joins — small-label propagation (SURVEY.md §4, north_star
+  * "canonicalization"). No GraphX: plain Dataset ops so AQE/skew handling
+  * apply.
+  *
+  * Algorithm: every node starts with component = its own id; each round a
+  * node adopts min(component of itself, components of its neighbors); stop
+  * when no assignment changed. Rounds ≤ graph diameter; each round is one
+  * shuffle join on node id.
+  *
+  * Scale notes:
+  *  - edges are symmetrized once up front;
+  *  - the per-round frame is persisted and the previous one unpersisted —
+  *    lineage does not grow unboundedly (checkpoint-free because each round
+  *    materializes via count());
+  *  - supernode skew (one hub with millions of neighbors) rides on AQE skew
+  *    splitting; the `spark.sql.adaptive.skewJoin` knobs are the knob, not
+  *    custom salting, because the join keys here are already maximally
+  *    fine-grained (node ids).
+  *
+  * Deterministic: min() is order-insensitive, so the result is invariant
+  * under partitioning and edge order (property-tested).
+  */
+object ConnectedComponents {
+
+  /** edges(src, dst) → (id, component) with component = min id in the
+    * component (string min). Nodes = every id appearing in edges ∪ `nodes`.
+    */
+  def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+          maxIterations: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+
+    var labels = nodes.select(col("id"))
+      .unionByName(sym.select(col("src").as("id")))
+      .distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      // neighbor-min: for each node, the min component among its neighbors
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nmin"))
+
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          (col("nmin").isNotNull && col("nmin") < col("component")).as("_changed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      changed = next.filter(col("_changed")).count()
+      labels.unpersist()
+      labels = next.drop("_changed")
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

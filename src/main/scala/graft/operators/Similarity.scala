@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (`embeddings.parquet: vec_id, embedding array<float>, label`).
+  *
+  * Two paths (SURVEY.md K1):
+  *  - brute-force exact cosine top-K: broadcast the (small) query set against
+  *    the corpus — one narrow pass over the big side + per-query top-K
+  *    window; the 100 TB-safe baseline when |queries| is bounded.
+  *  - LSH (random-hyperplane sign buckets): bucket join prunes candidates to
+  *    same-bucket pairs, exact cosine re-rank after. The scale path when both
+  *    sides are large.
+  *
+  * Cosine is computed with codegen'd higher-order functions
+  * (`zip_with` + `aggregate`), not UDFs.
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** dot(a,b) as a Column (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+
+  def cosineCol(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** Exact cosine top-K neighbors for the first `nQueries` vectors.
+    * Broadcast the query side; corpus side stays a single scan.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineCol(col("qvec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Seeded random hyperplanes → sign-bit bucket id per vector. */
+  def lshBucket(v: Column, dimLen: Int, bits: Int, seed: Long): Column = {
+    // plane(b)(i) deterministic from (seed, b, i); sign of projection = bit b
+    val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
+      val rnd = new java.util.Random(seed * 1341 + b)
+      (0 until dimLen).map(_ => rnd.nextGaussian())
+    }
+    (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(v, array(planes(b).map(lit): _*), (x, p) => x * p),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: same-bucket candidate join + exact re-rank.
+    * Multi-probe via `tables` independent hash tables unions recall back up.
+    */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              bits: Int = 8, tables: Int = 4, dimLen: Int = 64): DataFrame = {
+    val e = emb(spark, dir)
+    val candidates = (0 until tables).map { t =>
+      val withB = e.withColumn("bucket", lshBucket(col("embedding"), dimLen, bits, seed = 42L + t))
+      val q = withB.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("bucket"))
+      withB.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qvec"), col("embedding"))
+    }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
+
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        cosineCol(col("qvec"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets (pairs within the
+    * same bucket with cosine above threshold). Returns (a, b, cos) with a<b.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.97,
+                       bits: Int = 10, tables: Int = 4, dimLen: Int = 64): DataFrame = {
+    val e = emb(spark, dir)
+    val pairs = (0 until tables).map { t =>
+      val withB = e.withColumn("bucket", lshBucket(col("embedding"), dimLen, bits, seed = 7L + t))
+      val l = withB.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
+      val r = withB.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
+      l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("va"), col("vb"))
+    }.reduce(_ unionByName _).dropDuplicates("a", "b")
+
+    pairs.select(col("a"), col("b"), cosineCol(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

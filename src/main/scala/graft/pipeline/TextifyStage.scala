@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.model.{Entity, WikidataJson}
+import graft.textify.{LangVariant, Textifier}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One page whose HTML carried an entity payload. */
+final case class PagePayload(url: String, lang: String, payload: String)
+
+/** Distributed textification with *joined* label resolution.
+  *
+  * The reference resolves every label with a row-at-a-time SQLite point
+  * lookup inside the render loop (src/wikidataEmbed.py:72-75,115-122). A
+  * broadcast map works until the label dimension outgrows executor memory;
+  * the scale-safe shape used here is the gather-join:
+  *
+  *   1. per page, emit (url, referencedId) — tens of rows per page;
+  *   2. inner-join the label dimension (shuffle moves only (url,id,label));
+  *   3. regroup to (url, Map[id → label]) — each page's private dictionary;
+  *   4. join back and render with a pure Textifier whose `labelOf` reads the
+  *      per-row map (absence in map = entity absent, exactly the reference's
+  *      `get_entity → None` claim-drop semantics).
+  *
+  * Shuffle volume is O(#references), never O(dictionary), and no broadcast
+  * of the 9.2M-entity label table is needed.
+  */
+object TextifyStage {
+
+  /** Every entity id whose label the textifier may need: claim PIDs,
+    * qualifier PIDs, wikibase-item/-property values, quantity unit QIDs.
+    */
+  def referencedIds(e: Entity): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def snakIds(s: graft.model.Snak): Unit = {
+      if (s.valueJson != null) s.datatype match {
+        case "wikibase-item" | "wikibase-property" =>
+          val n = mapper.readTree(s.valueJson)
+          if (n.has("id")) out += n.get("id").asText()
+        case "quantity" =>
+          val n = mapper.readTree(s.valueJson)
+          val unit = if (n.has("unit")) n.get("unit").asText() else "1"
+          if (unit != "1") out += unit.substring(unit.lastIndexOf('/') + 1)
+        case _ =>
+      }
+    }
+    e.claims.foreach { cg =>
+      out += cg.pid
+      cg.claims.foreach { c =>
+        snakIds(c.mainsnak)
+        c.qualifiers.foreach { qg => out += qg.pid; qg.snaks.foreach(snakIds) }
+      }
+    }
+    out.toSeq
+  }
+
+  /** pages(url, html, lang) → (url, lang, payload). */
+  def payloads(spark: SparkSession, pages: DataFrame): Dataset[PagePayload] = {
+    import spark.implicits._
+    pages.select("url", "html", "lang").as[(String, Array[Byte], String)]
+      .flatMap { case (url, html, lang) =>
+        PagesGen.extractPayload(html).map(p => PagePayload(url, lang, p))
+      }
+  }
+
+  /** Harvest the label dimension from the corpus itself (both item and
+    * property pages): (id, label, isProperty).
+    */
+  def harvestLabels(spark: SparkSession, payloads: Dataset[PagePayload]): DataFrame = {
+    import spark.implicits._
+    payloads.flatMap { pp =>
+      WikidataJson.parseLine(pp.payload).map { item =>
+        val e = WikidataJson.normalize(item, "en")
+        (e.id, e.label, item.path("type").asText("") == "property")
+      }
+    }.toDF("id", "label", "is_property")
+  }
+
+  /** Render extracted text per page — byte-identical to the reference's
+    * serialization for that page's entity and language variant.
+    * Output: (url, id, lang, text).
+    */
+  def render(spark: SparkSession, payloads: Dataset[PagePayload], labels: DataFrame): DataFrame = {
+    import spark.implicits._
+
+    val refs = payloads.flatMap { pp =>
+      WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
+        val e = WikidataJson.normalize(item, "en")
+        referencedIds(e).map(r => (pp.url, r))
+      }
+    }.toDF("url", "ref")
+
+    val labelMaps = refs
+      .join(labels.select(col("id"), col("label")), col("ref") === col("id"), "inner")
+      .groupBy("url")
+      .agg(map_from_entries(collect_list(struct(col("ref"), col("label")))).as("label_map"))
+      .as[(String, Map[String, String])]
+
+    payloads
+      .joinWith(labelMaps, payloads("url") === labelMaps("url"), "left")
+      .map { case (pp, resolved) =>
+        val labelMap = Option(resolved).map(_._2).getOrElse(Map.empty[String, String])
+        val item = WikidataJson.parseLine(pp.payload).get
+        val entity = WikidataJson.normalize(item, "en")
+        val textifier = new Textifier(LangVariant(pp.lang), labelMap.get)
+        (pp.url, entity.id, pp.lang, textifier.entityToText(entity))
+      }
+      .toDF("url", "id", "lang", "text")
+  }
+}

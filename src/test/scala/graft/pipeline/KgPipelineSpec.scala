@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.model.WikidataJson
+import graft.textify.{LangVariant, Textifier}
+import graft.triples.Triples
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end slice (SURVEY.md §7.3): pages → extract → mention → link →
+  * triples → canon → materialize, plus the exactly-once resume contract.
+  */
+class KgPipelineSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val n = 240L
+  private lazy val root = {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "kgtest-").toString
+    val p = new KgPipeline(spark, dir, nPages = n)
+    p.run()
+    dir
+  }
+  private lazy val pipe = new KgPipeline(spark, root, nPages = n)
+
+  test("extracted text is byte-identical per url to the pure textifier") {
+    root // force run
+    val texts = pipe.textsTbl.read().as[(String, String, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(texts.size == n + PagesGen.properties.size)
+
+    // recompute each page purely with a complete label map
+    val labels = pipe.labelsTbl.read().select("id", "label")
+      .as[(String, String)].collect().toMap
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    (0L until n).foreach { i =>
+      val payload = PagesGen.entityJson(i, n, mapper)
+      val item = WikidataJson.parseLine(payload).get
+      val entity = WikidataJson.normalize(item, "en")
+      val lang = PagesGen.langs((i % PagesGen.langs.size).toInt)
+      val expected = new Textifier(LangVariant(lang), labels.get).entityToText(entity)
+      val (id, gotLang, got) = texts(PagesGen.urlOf(PagesGen.qid(i)))
+      assert(id == PagesGen.qid(i) && gotLang == lang)
+      assert(got == expected, s"url ${PagesGen.urlOf(PagesGen.qid(i))}")
+    }
+  }
+
+  test("pipeline triples == pure per-item extraction") {
+    root
+    val got = pipe.triplesTbl.read().as[graft.model.Triple].collect().sortBy(_.uuid)
+    val labels = pipe.labelsTbl.read().select("id", "label")
+      .as[(String, String)].collect().toMap
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val expected = ((0L until n).map(i => PagesGen.entityJson(i, n, mapper)) ++
+      PagesGen.properties.map { case (p, l) => PagesGen.propertyJson(p, l, mapper) })
+      .flatMap { payload =>
+        Triples.fromItem(WikidataJson.parseLine(payload).get, labels.get)
+      }.sortBy(_.uuid)
+    assert(got.length == expected.length)
+    assert(got.toSeq == expected)
+  }
+
+  test("canonicalization groups sameAs twins into one component") {
+    root
+    val canon = pipe.canonTbl.read().as[(String, String)].collect().toMap
+    (0L until n).foreach { i =>
+      if (i % 12 == 1) // twin of i-1
+        assert(canon(PagesGen.qid(i)) == canon(PagesGen.qid(i - 1)),
+          s"twins ${PagesGen.qid(i - 1)}/${PagesGen.qid(i)}")
+      else if (i % 12 != 0 || !canon.contains(PagesGen.qid(i + 1)))
+        assert(canon(PagesGen.qid(i)) == PagesGen.qid(i), s"singleton ${PagesGen.qid(i)}")
+    }
+  }
+
+  test("links: rank-1 candidate for unambiguous label mentions is the labeled entity") {
+    root
+    val links = pipe.linksTbl.read().filter(col("rank") === 1)
+      .select("url", "surface", "qid").as[(String, String, String)].collect()
+    assert(links.nonEmpty)
+    // unambiguous surfaces = exact entity labels not shared as twin aliases
+    val byLabel = (0L until n).map(i => PagesGen.labelOfIndex(i) -> PagesGen.qid(i)).toMap
+    val twinAliasLabels = (0L until n).filter(_ % 12 == 1).map(i => PagesGen.labelOfIndex(i - 1)).toSet
+    val checked = links.filter(l => byLabel.contains(l._2) && !twinAliasLabels.contains(l._2))
+    assert(checked.nonEmpty)
+    checked.foreach { case (url, surface, qid) =>
+      assert(qid == byLabel(surface), s"mention '$surface' on $url linked to $qid")
+    }
+  }
+
+  test("re-running the pipeline is a no-op (all stages resume from markers)") {
+    root
+    val snapsBefore = Seq(pipe.pagesTbl, pipe.labelsTbl, pipe.textsTbl, pipe.mentionsTbl,
+      pipe.linksTbl, pipe.triplesTbl, pipe.canonTbl, pipe.nodesTbl, pipe.edgesTbl)
+      .map(_.currentSnapshot)
+    val rerun = new KgPipeline(spark, root, nPages = n)
+    rerun.run()
+    val snapsAfter = Seq(rerun.pagesTbl, rerun.labelsTbl, rerun.textsTbl, rerun.mentionsTbl,
+      rerun.linksTbl, rerun.triplesTbl, rerun.canonTbl, rerun.nodesTbl, rerun.edgesTbl)
+      .map(_.currentSnapshot)
+    assert(snapsBefore == snapsAfter)
+  }
+
+  test("a killed job resumes exactly: same final tables as an uninterrupted run") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "kgtest-resume-").toString
+    val small = 60L
+    // crash after the mentions stage commits
+    val failing = new KgPipeline(spark, dir, nPages = small, failAfterStage = Some("mentions"))
+    intercept[RuntimeException] { failing.run() }
+    assert(failing.mentionsTbl.exists && !failing.linksTbl.exists)
+
+    // resume to completion
+    val resumed = new KgPipeline(spark, dir, nPages = small)
+    resumed.run()
+
+    // compare against an uninterrupted run in a fresh root
+    val cleanDir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "kgtest-clean-").toString
+    val clean = new KgPipeline(spark, cleanDir, nPages = small)
+    clean.run()
+
+    def dump(t: graft.tables.MergeTable): Seq[String] =
+      t.read().collect().map(_.toString).sorted.toSeq
+    assert(dump(resumed.triplesTbl) == dump(clean.triplesTbl))
+    assert(dump(resumed.textsTbl) == dump(clean.textsTbl))
+    assert(dump(resumed.linksTbl) == dump(clean.linksTbl))
+    assert(dump(resumed.edgesTbl) == dump(clean.edgesTbl))
+    // lineage recorded per-partition rows for every stage
+    val stages = resumed.lineage.lineageRows().select("stage").distinct()
+      .as[String].collect().toSet
+    assert(Set("ingest", "harvest", "textify", "mentions", "link", "triples",
+      "canon", "materialize").subsetOf(stages))
+  }
+}
