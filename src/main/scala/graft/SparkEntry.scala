@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational => R, TextAnalysis => T}
+import graft.operators.{Dedup, Eval, KgQueries, LangId, Relational => R, Similarity, TextAnalysis => T}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,33 @@ object SparkEntry {
     "d3_dup_groups" -> (T.d3DupGroups _),
     "d4_token_counts" -> (T.d4TokenCounts _),
     "d5_quality_signals" -> (T.d5QualitySignals _),
+    // dedup family
+    "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "dd3_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardExact(s, d)),
+    // similarity search / ANN
+    "s1_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    // threshold 0.3: the synthetic embeddings have no true near-dups (max
+    // pairwise cosine ≈ 0.46); real corpora would use ~0.95+
+    "s3_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d, threshold = 0.3)),
+    // retrieval eval
+    "em1_retrieval_metrics" -> ((s, d) => Eval.metrics(s, d)),
+    "em2_rerank" -> ((s, d) => Eval.rerank(s, d)),
+    // text ops
+    "lid1_langid_fingerprint" -> ((s, d) => LangId.detectDocs(s, d)),
+    // multimodal plumbing
+    "mm1_media_stats" -> ((s, d) => graft.multimodal.Media.mediaStats(s, d)),
+    // streaming semantics in batch mode
+    "st1_sessionize" -> ((s, d) => graft.streaming.EventsStream.sessionize(
+      s, s.read.parquet(s"$d/events.parquet"))),
+    // KG pipeline stages (self-generated deterministic corpus)
+    "kg1_extract_text" -> (KgQueries.extractText _),
+    "kg2_mentions" -> (KgQueries.mentions _),
+    "kg3_links" -> (KgQueries.links _),
+    "kg4_triples" -> (KgQueries.triples _),
+    "kg5_canon" -> (KgQueries.canon _),
+    "kg6_chunks" -> ((s, d) => KgQueries.chunks(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,5 +161,37 @@ object SparkEntry {
         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
         |FROM documents""".stripMargin,
+    "dd3_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s
+        |  FROM w WHERE len(words) >= 3),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS nsh FROM sh)
+        |SELECT a, b,
+        |  round(inter * 1.0 / (sa.nsh + sb.nsh - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE inter * 1.0 / (sa.nsh + sb.nsh - inter) >= 0.03""".stripMargin,
+    "s1_ann_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qvec, e.embedding) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
   )
 }

@@ -16,9 +16,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale notes:
   *  - edges are symmetrized once up front;
-  *  - the per-round frame is persisted and the previous one unpersisted —
-  *    lineage does not grow unboundedly (checkpoint-free because each round
-  *    materializes via count());
+  *  - each round's frame is localCheckpoint'ed (eager): this truncates the
+  *    logical plan, which otherwise grows exponentially across iterations
+  *    (every round re-embeds the previous round's join tree). On a real
+  *    cluster with executor loss concerns, switch to reliable
+  *    `checkpoint()` with a checkpoint dir — same call shape;
   *  - supernode skew (one hub with millions of neighbors) rides on AQE skew
   *    splitting; the `spark.sql.adaptive.skewJoin` knobs are the knob, not
   *    custom salting, because the join keys here are already maximally
@@ -44,7 +46,7 @@ object ConnectedComponents {
       .unionByName(sym.select(col("src").as("id")))
       .distinct()
       .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     var changed = 1L
     var iter = 0
@@ -60,10 +62,9 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
           (col("nmin").isNotNull && col("nmin") < col("component")).as("_changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // truncate lineage: plans must not compound
 
       changed = next.filter(col("_changed")).count()
-      labels.unpersist()
       labels = next.drop("_changed")
       iter += 1
     }

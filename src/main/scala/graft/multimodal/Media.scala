@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in fixed-size batches via `mapPartitions`
+  * (the Scala analog of Pandas-UDF `mapInPandas` batching).
+  *
+  * The actual decoders are NOT in this container, so `decodeImage` is a
+  * clearly-marked deterministic STUB: it fabricates plausible metadata and a
+  * feature vector from the bytes alone. Everything around it — schema,
+  * partitioning, batch shape, the explode for frame sampling — is the real
+  * Spark-side pipeline a production decoder would drop into.
+  */
+object Media {
+
+  final case class MediaAsset(asset_id: Long, kind: String, bytes: Array[Byte],
+                              mime: String, source_doc: Long)
+  final case class DecodedImage(asset_id: Long, width: Int, height: Int,
+                                channels: Int, features: Array[Float])
+  final case class Frame(asset_id: Long, frame_idx: Int, t_ms: Long, features: Array[Float])
+
+  /** Deterministic synthetic media table derived from `documents` (binary
+    * payload = seeded bytes; kind cycles image/audio/video).
+    */
+  def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (docId, text) =>
+        val rnd = new java.util.Random(docId * 2654435761L)
+        val kind = Seq("image", "audio", "video")((docId % 3).toInt)
+        val len = 256 + rnd.nextInt(768)
+        val bytes = new Array[Byte](len); rnd.nextBytes(bytes)
+        val mime = kind match {
+          case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/mp4"
+        }
+        MediaAsset(docId, kind, bytes, mime, docId)
+      }
+  }
+
+  /** STUB decoder — a real implementation would decode the container here.
+    * Deterministic from the bytes, so tests and reruns agree.
+    */
+  private def decodeImageStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val h0 = java.util.Arrays.hashCode(bytes)
+    val width = 64 + math.abs(h0 % 1024)
+    val height = 64 + math.abs((h0 / 7) % 1024)
+    val feats = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { feats(i % 16) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+    (width, height, 3, feats)
+  }
+
+  /** Batched decode / feature-extract (mapPartitions, batch 32). */
+  def decodeImages(assets: Dataset[MediaAsset], batchSize: Int = 32): Dataset[DecodedImage] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real decoder: pass `batch.map(_.bytes)` to the native lib at once
+        batch.map { a =>
+          val (w, h, c, f) = decodeImageStub(a.bytes)
+          DecodedImage(a.asset_id, w, h, c, f)
+        }
+      }
+    }
+  }
+
+  /** Resize stub: scales stub metadata, keeps the feature contract. */
+  def resize(decoded: Dataset[DecodedImage], maxSide: Int): Dataset[DecodedImage] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
+      d.copy(width = math.max(1, (d.width * scale).toInt),
+        height = math.max(1, (d.height * scale).toInt))
+    }
+  }
+
+  /** Frame sampling for video assets: one row per sampled frame (explode). */
+  def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long = 1000, maxFrames: Int = 8): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").flatMap { a =>
+      val n = 1 + math.abs(java.util.Arrays.hashCode(a.bytes) % maxFrames)
+      (0 until n).map { i =>
+        val (_, _, _, f) = decodeImageStub(a.bytes ++ Array(i.toByte))
+        Frame(a.asset_id, i, i * everyMs, f)
+      }
+    }
+  }
+
+  /** Summary query: decoded media stats per kind (the queries() entry). */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = assets(spark, dir)
+    val img = decodeImages(a).toDF()
+      .agg(count(lit(1)).as("n"), sum(col("width").cast("long")).as("sum_w")).withColumn("kind", lit("image"))
+    val frames = sampleFrames(a).toDF()
+      .agg(count(lit(1)).as("n"), sum(col("t_ms")).as("sum_w")).withColumn("kind", lit("video_frames"))
+    img.unionByName(frames).select("kind", "n", "sum_w")
+  }
+}

@@ -49,7 +49,8 @@ object Dedup {
 
     val perBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band") +: (0 until perBand).map(r => col(s"h${b * perBand + r}")): _*).as("bucket")
+      struct(lit(b).as("band") +:
+        (0 until perBand).map(r => col(s"h${b * perBand + r}").as(s"r$r")): _*).as("bucket")
     }
     val buckets = d.select(col("doc_id") +: (0 until numHashes).map(i => col(s"h$i")) :+
       explode(array(bandCols: _*)).as("bucket"): _*)
@@ -94,6 +95,31 @@ object Dedup {
       .select(col("a"), col("b"),
         bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact n-gram Jaccard over all pairs sharing ≥1 shingle, via an
+    * inverted-index join: explode (doc, shingle), self-join on shingle,
+    * count matches per pair = |A∩B| (shingles are distinct per doc), then
+    * |A∪B| = |A|+|B|−|A∩B| from per-doc sizes. No arrays cross the shuffle,
+    * so this is the 100 TB-exact-dedup shape (pair space bounded by shared
+    * shingles, not n²). DuckDB-oracle-backed.
+    */
+  def ngramJaccardExact(spark: SparkSession, dir: String, threshold: Double = 0.03): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val inv = d.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inter = inv.as("x").join(inv.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard for candidate pairs from minhash LSH — the

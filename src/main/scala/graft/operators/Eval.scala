@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Retrieval-evaluation operators — the reference's stage 4/5 + metric
+  * notebook (SURVEY.md A4-A7, K1/K3/K4):
+  * top-K retrieval per query, rerank, MRR / NDCG / accuracy / log-odds.
+  *
+  * The eval set is derived from the driver's `embeddings` table: vectors
+  * sharing a `label` are mutually relevant; the lowest vec_id per label is
+  * the query (ref analog: QA gold labels in docker/4_Run_Retrieval).
+  */
+object Eval {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Top-K retrieval per query with relevance marks.
+    * Output: (query_id, query_label, neighbor_id, neighbor_label, cos, rank, relevant)
+    */
+  def retrieve(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val qWin = Window.partitionBy("label").orderBy(asc("vec_id"))
+    val queries = e.withColumn("rn", row_number().over(qWin)).filter(col("rn") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("query_label"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        Similarity.cosineCol(col("qvec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .withColumn("relevant", (col("neighbor_label") === col("query_label")).cast("int"))
+  }
+
+  /** Rerank the retrieved K with a second scorer and re-sort — K3 semantics
+    * (ref: docker/5_Run_Rerank/run.py:25-32). The stand-in "cross-encoder"
+    * is a deterministic hash-mix of (query, candidate) ids; what matters is
+    * the operator shape: per-query array re-sort without re-shuffling the
+    * corpus.
+    */
+  def rerank(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val crossScore = pmod(xxhash64(col("query_id"), col("neighbor_id")), lit(1000000)).cast("double") / 1000000.0
+    retrieve(spark, dir, k)
+      .withColumn("cross_score", crossScore)
+      .groupBy("query_id")
+      .agg(reverse(array_sort(collect_list(struct(col("cross_score"), col("neighbor_id")))))
+        .as("reranked"))
+      .select(col("query_id"), posexplode(col("reranked")))
+      .select(col("query_id"), (col("pos") + 1).as("new_rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.cross_score"), 6).as("cross_score"))
+  }
+
+  /** MRR / NDCG@K / accuracy / log-odds over the retrieval
+    * (ref: notebooks/4-Evaluation_Calculation.ipynb cell 2). One output row.
+    */
+  def metrics(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val r = retrieve(spark, dir, k)
+    val perQuery = r.groupBy("query_id")
+      .agg(
+        min(when(col("relevant") === 1, col("rank"))).as("first_hit_rank"),
+        sum(when(col("relevant") === 1, lit(1.0) / log2(col("rank") + 1)).otherwise(0.0)).as("dcg"),
+        sum("relevant").as("n_relevant_in_k"),
+        max(when(col("rank") === 1, col("relevant"))).as("top1_hit"),
+        max(when(col("relevant") === 1, col("cos"))).as("best_rel_score"),
+        max(when(col("relevant") === 0, col("cos"))).as("best_irrel_score"))
+      .withColumn("idcg", when(col("n_relevant_in_k") > 0,
+        expr(s"aggregate(sequence(1, int(least(n_relevant_in_k, $k))), 0.0d, (acc, i) -> acc + 1.0 / log2(i + 1))"))
+        .otherwise(lit(0.0)))
+      .withColumn("ndcg", when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0))
+      .withColumn("rr", when(col("first_hit_rank").isNotNull, lit(1.0) / col("first_hit_rank")).otherwise(0.0))
+
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg("rr"), 6).as("mrr"),
+      round(avg("ndcg"), 6).as("ndcg"),
+      round(avg(coalesce(col("top1_hit"), lit(0))), 6).as("accuracy"),
+      round(avg(
+        when(col("best_rel_score").isNotNull && col("best_irrel_score").isNotNull,
+          log((col("best_rel_score") + 1) / 2 / (lit(1.0) - (col("best_rel_score") + 1) / 2 + lit(1e-9))) -
+            log((col("best_irrel_score") + 1) / 2 / (lit(1.0) - (col("best_irrel_score") + 1) / 2 + lit(1e-9))))),
+        6).as("log_odds_gap"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Heuristic language identification + rolling-hash document fingerprinting
+  * (training-data text ops).
+  *
+  * LangId: character-trigram profiles built from small built-in seed texts
+  * (one per language, public pangram/sample sentences), scored by cosine
+  * over trigram counts. Deterministic, dependency-free; runs as one narrow
+  * `Dataset.map` (broadcastable profiles are tiny).
+  *
+  * Fingerprint: 64-bit Karp-Rabin rolling hash over the char stream with
+  * winnowing (min hash per window) — robust to small edits, used for
+  * order-independent doc identity at corpus scale.
+  */
+object LangId {
+
+  private val seeds: Map[String, String] = Map(
+    "en" -> ("the quick brown fox jumps over the lazy dog and then it was the best of times " +
+      "it was the worst of times this is a test of the english language with many common words"),
+    "de" -> ("der schnelle braune fuchs springt über den faulen hund und es war die beste aller " +
+      "zeiten es war die schlechteste aller zeiten das ist ein deutscher beispielsatz mit vielen wörtern"),
+    "fr" -> ("le rapide renard brun saute par dessus le chien paresseux et c était le meilleur des " +
+      "temps c était le pire des temps ceci est une phrase d exemple en français avec beaucoup de mots"),
+    "es" -> ("el rápido zorro marrón salta sobre el perro perezoso y era el mejor de los tiempos " +
+      "era el peor de los tiempos esta es una frase de ejemplo en español con muchas palabras comunes"),
+    "ar" -> "الثعلب البني السريع يقفز فوق الكلب الكسول وكان أفضل الأوقات وكان أسوأ الأوقات هذه جملة مثال باللغة العربية",
+    "zh" -> "敏捷的棕色狐狸跳过懒狗这是最好的时代这是最坏的时代这是一个中文示例句子包含许多常用词汇")
+
+  private def trigramCounts(text: String): Map[String, Int] = {
+    val t = text.toLowerCase
+    if (t.length < 3) Map.empty
+    else t.sliding(3).foldLeft(Map.empty[String, Int]) { (m, g) =>
+      m.updated(g, m.getOrElse(g, 0) + 1)
+    }
+  }
+
+  private lazy val profiles: Map[String, Map[String, Int]] = seeds.map { case (l, s) =>
+    l -> trigramCounts(s)
+  }
+
+  /** Predict the language of `text`; "und" = undetermined (too short / no
+    * overlap with any profile).
+    */
+  def detect(text: String): String = {
+    val counts = trigramCounts(text)
+    if (counts.isEmpty) return "und"
+    val norm = math.sqrt(counts.values.map(v => v.toDouble * v).sum)
+    var best = "und"; var bestScore = 0.0
+    profiles.foreach { case (lang, prof) =>
+      val pnorm = math.sqrt(prof.values.map(v => v.toDouble * v).sum)
+      var dot = 0.0
+      counts.foreach { case (g, c) => prof.get(g).foreach(p => dot += c.toDouble * p) }
+      val score = if (norm * pnorm == 0) 0.0 else dot / (norm * pnorm)
+      if (score > bestScore || (score == bestScore && best != "und" && lang < best)) {
+        best = lang; bestScore = score
+      }
+    }
+    if (bestScore <= 0.0) "und" else best
+  }
+
+  /** Karp-Rabin rolling hash fingerprint with winnowing.
+    * Returns (docHash, winnowedMin) — winnowedMin is the minimum window hash,
+    * stable under content rotation/small shifts.
+    */
+  def fingerprint(text: String, window: Int = 16): (Long, Long) = {
+    val B = 1000000007L
+    var full = 0L
+    var i = 0
+    while (i < text.length) { full = full * B + text.charAt(i); i += 1 }
+    if (text.length < window) return (full, full)
+    var pow = 1L
+    (1 until window).foreach(_ => pow *= B)
+    var h = 0L
+    var minH = Long.MaxValue
+    i = 0
+    while (i < text.length) {
+      h = h * B + text.charAt(i)
+      if (i >= window) h -= pow * B * text.charAt(i - window)
+      if (i >= window - 1 && h < minH) minH = h
+      i += 1
+    }
+    (full, minH)
+  }
+
+  /** queries() entry: predicted language + fingerprints per doc. */
+  def detectDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val (fp, winnow) = fingerprint(text)
+        (id, lang, detect(text), fp, winnow)
+      }
+      .toDF("doc_id", "lang", "predicted_lang", "fingerprint", "winnowed_min")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Near-dup operators validated on planted duplicates: a corpus where some
+  * docs are exact copies, some are light edits, the rest unrelated — minhash
+  * and simhash must recover the planted pairs, with the inverted-index exact
+  * Jaccard as ground truth.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // deterministic planted corpus written as a parquet `documents` table
+  private lazy val dir: String = {
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    def doc(seed: Int, n: Int): String = {
+      val r = new java.util.Random(seed)
+      (0 until n).map(_ => words(r.nextInt(words.size))).mkString(" ")
+    }
+    val base = (0 until 40).map(i => (i.toLong, doc(i * 7 + 1, 60)))
+    val copies = (0 until 6).map(i => (100L + i, base(i)._2)) // exact dupes
+    val edits = (0 until 6).map { i => // one word changed
+      val toks = base(10 + i)._2.split(" "); toks(5) = "zulu"
+      (200L + i, toks.mkString(" "))
+    }
+    val all = (base ++ copies ++ edits).map { case (id, t) =>
+      (id, t, "en", "synthetic", t.length.toLong)
+    }
+    val d = Files.createTempDirectory(java.nio.file.Paths.get("target"), "dedup-").toString
+    all.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def plantedExact = (0 until 6).map(i => (i.toLong, 100L + i)).toSet
+  private def plantedEdits = (0 until 6).map(i => (10L + i, 200L + i)).toSet
+
+  test("exact Jaccard (inverted index) finds planted exact and edited dupes") {
+    val pairs = Dedup.ngramJaccardExact(spark, dir, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(plantedExact.subsetOf(pairs), s"missing exact dupes: ${plantedExact -- pairs}")
+    assert(plantedEdits.subsetOf(pairs), s"missing edit dupes: ${plantedEdits -- pairs}")
+  }
+
+  test("minhash LSH recovers all high-Jaccard planted pairs") {
+    val got = Dedup.minhashLsh(spark, dir, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(plantedExact.subsetOf(got), s"minhash missed exact dupes: ${plantedExact -- got}")
+    // est_jaccard for exact copies must be 1.0
+    val est = Dedup.minhashLsh(spark, dir, threshold = 0.5)
+      .filter(col("a") === 0 && col("b") === 100)
+      .select("est_jaccard").as[Double].collect()
+    assert(est.nonEmpty && est.head == 1.0)
+  }
+
+  test("simhash finds exact dupes at hamming 0 and edits within distance 3") {
+    val got = Dedup.simhashNearDup(spark, dir, maxDist = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(plantedExact.subsetOf(pairs), s"simhash missed exact dupes: ${plantedExact -- pairs}")
+    got.filter(t => plantedExact.contains((t._1, t._2))).foreach { t =>
+      assert(t._3 == 0, s"exact copy pair ${(t._1, t._2)} has hamming ${t._3}")
+    }
+  }
+
+  test("embedding near-dup flags planted copies via LSH buckets") {
+    // embed planted docs and store as an embeddings table in the same dir
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val rows = docs.map { case (id, t) =>
+      (id, graft.link.Embedder.encode(t).toSeq, 0)
+    }.toSeq
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embeddingNearDup(spark, dir, threshold = 0.999, dimLen = 32)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(plantedExact.subsetOf(got), s"embedding neardup missed: ${plantedExact -- got}")
+  }
+
+  test("LSH ANN achieves high recall vs brute force on the planted table") {
+    val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(spark, dir, nQueries = 10, k = 5, bits = 6, tables = 6, dimLen = 32)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(f"LSH recall vs brute force: $recall%.3f")
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+}

