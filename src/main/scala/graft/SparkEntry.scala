@@ -53,6 +53,24 @@ object SparkEntry {
     // streaming semantics in batch mode
     "st1_sessionize" -> ((s, d) => graft.streaming.EventsStream.sessionize(
       s, s.read.parquet(s"$d/events.parquet"))),
+    // keyword search (BM25 over an inverted index — the S12/K2 analog)
+    "kw1_keyword_search" -> ((s, d) => graft.operators.KeywordSearch.searchDocs(s, d)),
+    // embedding cache (J9/E2): two passes; second must be all hits
+    "cache1_embedding_cache" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "embcache-").toString
+      val cache = new graft.link.EmbeddingCache(s,
+        new graft.tables.MergeTable(s, tmp, Seq("text_key")))
+      val texts = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      val (r1, miss1) = cache.embedWithCache(texts)
+      val n1 = r1.count()
+      val (r2, miss2) = cache.embedWithCache(texts)
+      val n2 = r2.count()
+      import s.implicits._
+      Seq((n1, miss1, n2, miss2)).toDF("n_first", "misses_first", "n_second", "misses_second")
+    }),
     // KG pipeline stages (self-generated deterministic corpus)
     "kg1_extract_text" -> (KgQueries.extractText _),
     "kg2_mentions" -> (KgQueries.mentions _),

@@ -27,37 +27,45 @@ object Linker {
     * — one row per mention × candidate. Self-mentions (candidate == the
     * page's own entity) are dropped.
     */
-  def mentions(spark: SparkSession, texts: DataFrame, trie: Broadcast[AhoCorasick]): DataFrame = {
+  /** Context window text around a mention (map-side, no shuffle). */
+  private val contextChars = 80
+
+  /** Mentions with their local context captured map-side while the full text
+    * is in hand — downstream linking never re-joins the (wide) texts table;
+    * only the small context window travels.
+    */
+  def mentions(spark: SparkSession, texts: DataFrame, trie: Broadcast[AhoCorasick],
+               maxCandidates: Int = 50): DataFrame = {
     import spark.implicits._
     texts.select("url", "id", "text").as[(String, String, String)]
       .flatMap { case (url, selfId, text) =>
         trie.value.findMentions(text).flatMap { m =>
-          m.qids.filter(_ != selfId).map(q => (url, m.surface, m.begin, m.end, q))
+          val ctx = text.substring(
+            math.max(0, m.begin - contextChars),
+            math.min(text.length, m.end + contextChars))
+          // bounded candidate set (deterministic: sorted before the cap) —
+          // uncapped fan-out on a hyper-ambiguous surface is the mention-side
+          // skew hazard at corpus scale
+          m.qids.filter(_ != selfId).sorted.take(maxCandidates)
+            .map(q => (url, m.surface, m.begin, m.end, q, ctx))
         }
       }
-      .toDF("url", "surface", "begin", "end", "qid")
+      .toDF("url", "surface", "begin", "end", "qid", "context")
   }
-
-  /** Context window text around a mention (map-side, no shuffle). */
-  private val contextChars = 80
 
   /** Score candidates and keep top-K per mention.
     * Output: (url, begin, end, surface, qid, score, rank).
     */
-  def link(spark: SparkSession, texts: DataFrame, mentionsDf: DataFrame,
+  def link(spark: SparkSession, mentionsDf: DataFrame,
            entityVecs: DataFrame, k: Int = 50): DataFrame = {
     import spark.implicits._
 
     val withContext = mentionsDf
-      .join(texts.select(col("url"), col("text")), Seq("url"))
-      .select(col("url"), col("surface"), col("begin"), col("end"), col("qid"), col("text"))
+      .select(col("url"), col("surface"), col("begin"), col("end"), col("qid"), col("context"))
       .as[(String, String, Int, Int, String, String)]
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch =>
-          val ctxs = batch.map { case (_, _, b, e, _, text) =>
-            text.substring(math.max(0, b - contextChars), math.min(text.length, e + contextChars))
-          }
-          val vecs = Embedder.encodeBatch(ctxs)
+          val vecs = Embedder.encodeBatch(batch.map(_._6))
           batch.zip(vecs).map { case ((url, s, b, e, q, _), v) => (url, s, b, e, q, v) }
         }
       }

@@ -13,17 +13,36 @@ final case class Mention(surface: String, qids: Seq[String], begin: Int, end: In
   * guards (a label must not continue into adjacent letters/digits) —
   * deterministic regardless of dictionary order.
   *
-  * Scale: the automaton is O(total label chars) in memory (~100 MB for the
-  * full 9.2M-label Wikidata dictionary) — within executor broadcast budget;
-  * if the dictionary outgrows broadcast, shard the trie by surface hash and
-  * run N passes (noted in SURVEY.md §7.4).
+  * Storage is CSR-compacted primitive arrays (edge chars/targets sorted per
+  * node + binary search): a 9.2M-label dictionary serializes as a handful of
+  * flat arrays instead of millions of boxed HashMaps — broadcast cost is
+  * O(total chars), and matching is cache-friendly. If the dictionary
+  * outgrows executor broadcast budget, shard by surface hash and run N
+  * passes (SURVEY.md §7.4).
   */
 final class AhoCorasick private (
-    goto: Array[mutable.HashMap[Char, Int]],
+    edgeOffsets: Array[Int],   // node -> [start, end) into edgeChars/edgeTargets
+    edgeChars: Array[Char],    // sorted within each node's range
+    edgeTargets: Array[Int],
     fail: Array[Int],
-    out: Array[List[Int]], // pattern indices ending at this node
+    outOffsets: Array[Int],    // node -> [start, end) into outPatterns
+    outPatterns: Array[Int],
     patterns: Array[String],
     payloads: Array[Array[String]]) extends Serializable {
+
+  private def step(state: Int, c: Char): Int = {
+    // binary search c in the node's sorted edge range
+    var lo = edgeOffsets(state)
+    var hi = edgeOffsets(state + 1) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mc = edgeChars(mid)
+      if (mc == c) return edgeTargets(mid)
+      else if (mc < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
 
   private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c)
 
@@ -34,16 +53,21 @@ final class AhoCorasick private (
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      while (state != 0 && !goto(state).contains(c)) state = fail(state)
-      state = goto(state).getOrElse(c, 0)
+      var nxt = step(state, c)
+      while (state != 0 && nxt < 0) { state = fail(state); nxt = step(state, c) }
+      state = if (nxt >= 0) nxt else 0
       var s = state
       while (s != 0) {
-        out(s).foreach { p =>
+        var oi = outOffsets(s)
+        val oe = outOffsets(s + 1)
+        while (oi < oe) {
+          val p = outPatterns(oi)
           val begin = i - patterns(p).length + 1
           val okLeft = begin == 0 || !isWordChar(text.charAt(begin - 1)) || !isWordChar(patterns(p).charAt(0))
           val okRight = i + 1 >= text.length || !isWordChar(text.charAt(i + 1)) ||
             !isWordChar(patterns(p).charAt(patterns(p).length - 1))
           if (okLeft && okRight) hits += ((begin, i + 1, p))
+          oi += 1
         }
         s = fail(s)
       }
@@ -56,7 +80,6 @@ final class AhoCorasick private (
   def findMentions(text: String): Seq[Mention] = {
     val hits = rawMatches(text)
     if (hits.isEmpty) return Seq.empty
-    // sort by begin asc, length desc → greedy pick
     val sorted = hits.sortBy { case (b, e, _) => (b, -(e - b)) }
     val res = mutable.ArrayBuffer.empty[Mention]
     var lastEnd = 0
@@ -78,9 +101,9 @@ object AhoCorasick {
     val patterns = entries.map(_._1)
     val payloads = entries.map(_._2.toArray)
 
+    // phase 1: hash-map trie
     val goto = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
     val outB = mutable.ArrayBuffer(List.empty[Int])
-
     patterns.zipWithIndex.foreach { case (p, pi) =>
       var state = 0
       p.foreach { c =>
@@ -96,7 +119,9 @@ object AhoCorasick {
       outB(state) = pi :: outB(state)
     }
 
-    val fail = Array.fill(goto.length)(0)
+    // phase 2: BFS fail links
+    val n = goto.length
+    val fail = Array.fill(n)(0)
     val queue = mutable.Queue.empty[Int]
     goto(0).values.foreach(queue.enqueue(_))
     while (queue.nonEmpty) {
@@ -106,9 +131,38 @@ object AhoCorasick {
         var st = fail(r)
         while (st != 0 && !goto(st).contains(c)) st = fail(st)
         fail(s) = if (goto(st).contains(c) && goto(st)(c) != s) goto(st)(c) else 0
-        // note: out chains are followed via fail links at match time
       }
     }
-    new AhoCorasick(goto.toArray, fail, outB.toArray, patterns, payloads)
+
+    // phase 3: CSR compaction
+    val edgeOffsets = new Array[Int](n + 1)
+    var total = 0
+    var i = 0
+    while (i < n) { edgeOffsets(i) = total; total += goto(i).size; i += 1 }
+    edgeOffsets(n) = total
+    val edgeChars = new Array[Char](total)
+    val edgeTargets = new Array[Int](total)
+    i = 0
+    while (i < n) {
+      var k = edgeOffsets(i)
+      goto(i).toSeq.sortBy(_._1).foreach { case (c, t) =>
+        edgeChars(k) = c; edgeTargets(k) = t; k += 1
+      }
+      i += 1
+    }
+    val outOffsets = new Array[Int](n + 1)
+    total = 0
+    i = 0
+    while (i < n) { outOffsets(i) = total; total += outB(i).size; i += 1 }
+    outOffsets(n) = total
+    val outPatterns = new Array[Int](total)
+    i = 0
+    while (i < n) {
+      var k = outOffsets(i)
+      outB(i).foreach { p => outPatterns(k) = p; k += 1 }
+      i += 1
+    }
+    new AhoCorasick(edgeOffsets, edgeChars, edgeTargets, fail,
+      outOffsets, outPatterns, patterns, payloads)
   }
 }

@@ -21,11 +21,18 @@ import scala.jdk.CollectionConverters._
   *  - raw claim scalarization ladder for the statement/triple pipeline
   *    (ref: …statement_textification.py:350-383)
   *
-  * ObjectMapper is thread-safe after config; one shared instance per JVM.
+  * ObjectMapper is THREAD-LOCAL, not shared: Jackson's canonicalizing
+  * symbol tables synchronize merges on the shared factory root, which
+  * serialized a 32-thread parse storm (measured: local[32] slower than
+  * local[8] on the pure parse+render kernel until this change).
   */
 object WikidataJson {
 
-  private val mapper = new ObjectMapper()
+  private val mapperTL: ThreadLocal[ObjectMapper] =
+    ThreadLocal.withInitial(() => new ObjectMapper())
+
+  /** Per-thread ObjectMapper — shared by all row-level parse/render code. */
+  def mapper: ObjectMapper = mapperTL.get()
 
   def parseLine(line: String): Option[JsonNode] = {
     val trimmed = line.dropWhile(c => "[] ,\n\r\t".indexOf(c) >= 0)

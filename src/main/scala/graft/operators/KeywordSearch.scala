@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyword top-K search — the local stand-in for the reference's
+  * Elasticsearch retrieval path (SURVEY.md S12/K2,
+  * ref: src/wikidataRetriever.py:189-255: match-or query, size K, score
+  * desc). BM25 scoring over an inverted index built with plain Spark ops:
+  *
+  *   postings: explode(doc, term) → term frequencies
+  *   df/idf:   groupBy(term)
+  *   score:    query-term semi-join on the postings + BM25 per (doc, term),
+  *             summed per doc, window top-K
+  *
+  * The postings build is one shuffle; each query is a broadcast semi-join —
+  * no document text moves after indexing. This is exactly how you'd serve
+  * boolean-or keyword search over 100 TB without an external engine.
+  */
+object KeywordSearch {
+
+  private val k1 = 1.2
+  private val b = 0.75
+
+  /** (postings, stats): postings(doc_id, term, tf, dl), one row per distinct
+    * (doc, term); stats(term, df, idf) with N docs folded into idf.
+    */
+  def buildIndex(spark: SparkSession, docs: DataFrame): (DataFrame, DataFrame, Double) = {
+    val terms = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\W+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val postings = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val withLen = postings.join(docLen, Seq("doc_id"))
+    val n = docs.count()
+    val stats = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val avgdl = docLen.agg(avg("dl")).collect()(0).getDouble(0)
+    (withLen, stats, avgdl)
+  }
+
+  /** Match-or BM25 top-K for a set of queries (query_id, query_text). */
+  def search(spark: SparkSession, docs: DataFrame, queries: Seq[(Long, String)],
+             k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (postings, stats, avgdl) = buildIndex(spark, docs)
+    val queryTerms = queries
+      .flatMap { case (qid, q) =>
+        q.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.map(t => (qid, t))
+      }.toDF("query_id", "term")
+
+    val scored = postings
+      .join(broadcast(queryTerms), Seq("term"))
+      .join(broadcast(stats), Seq("term"))
+      .withColumn("bm25",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("bm25"), 6).as("score"), count(lit(1)).as("n_matched_terms"))
+
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** queries() entry: deterministic query set over the documents table. */
+  def searchDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val queries = Seq(
+      (1L, "spark window batch"), (2L, "customer join filter"),
+      (3L, "vector merge stream"), (4L, "the quick missing terms"))
+    search(spark, docs, queries, k = 10)
+  }
+}

@@ -56,7 +56,7 @@ object KgQueries {
     val texts = extractText(spark, dir)
     val entityVecs = Embedder.embedDataset(
       texts.select("id", "text").as[(String, String)]).toDF("id", "vec")
-    Linker.link(spark, texts, mentions(spark, dir), entityVecs, k = 5)
+    Linker.link(spark, mentions(spark, dir), entityVecs, k = 5)
       .withColumn("score", round(col("score"), 6))
   }
 

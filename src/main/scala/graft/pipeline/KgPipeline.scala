@@ -119,7 +119,7 @@ final class KgPipeline(spark: SparkSession, root: String,
       val texts = textsTbl.read()
       val entityVecs = Embedder.embedDataset(
         texts.select("id", "text").as[(String, String)]).toDF("id", "vec")
-      val df = Linker.link(spark, texts, mentionsTbl.read(), entityVecs, linkK)
+      val df = Linker.link(spark, mentionsTbl.read(), entityVecs, linkK)
       val snap = linksTbl.merge(df)
       lineage.capture("link", mentionsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap

@@ -67,7 +67,11 @@ object PagesGen {
     root.`with`("sitelinks").putObject("enwiki").put("site", "enwiki").put("title", labelOfIndex(i))
 
     val aliases = root.`with`("aliases").putArray("en")
-    if (i % 3 == 0) aliases.addObject().put("value", s"Alias${i % 97}") // ambiguous surface
+    // ambiguous surface: pool sized with n so the expected candidate-set per
+    // surface stays ~3 regardless of corpus size (fixed pool made candidate
+    // fan-out grow linearly with n — quadratic mention×candidate rows)
+    val aliasPool = math.max(11L, n / 9)
+    if (i % 3 == 0) aliases.addObject().put("value", s"Alias${i % aliasPool}")
     if (i % 12 == 1) aliases.addObject().put("value", labelOfIndex(i - 1)) // twin shares label
 
     val claims = root.`with`("claims")
@@ -154,7 +158,7 @@ object PagesGen {
   def pages(spark: SparkSession, n: Long, partitions: Int = 32): DataFrame = {
     import spark.implicits._
     val items = spark.range(0, n, 1, partitions).map { i =>
-      val mapper = new ObjectMapper()
+      val mapper = graft.model.WikidataJson.mapper // thread-local
       val payload = entityJson(i, n, mapper)
       val id = qid(i)
       Page(urlOf(id), new java.sql.Timestamp(1735689600000L + i * 1000),
@@ -162,7 +166,7 @@ object PagesGen {
         "", langs((i % langs.size).toInt))
     }
     val props = spark.createDataset(properties).map { case (pid, label) =>
-      val mapper = new ObjectMapper()
+      val mapper = graft.model.WikidataJson.mapper
       Page(urlOf(pid), new java.sql.Timestamp(1735689600000L),
         htmlFor(pid, label, propertyJson(pid, label, mapper)), "", "en")
     }

@@ -32,7 +32,7 @@ object TextifyStage {
     */
   def referencedIds(e: Entity): Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mapper = WikidataJson.mapper // thread-local, not per-row
     def snakIds(s: graft.model.Snak): Unit = {
       if (s.valueJson != null) s.datatype match {
         case "wikibase-item" | "wikibase-property" =>

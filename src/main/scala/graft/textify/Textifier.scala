@@ -18,9 +18,10 @@ import scala.collection.mutable
   */
 class Textifier(val lang: LangVariant, labelOf: String => Option[String]) extends Serializable {
 
-  @transient private lazy val mapper = new ObjectMapper()
-
-  private def parse(json: String): JsonNode = mapper.readTree(json)
+  // thread-local shared mapper: a per-instance mapper made "new Textifier per
+  // row" allocate an ObjectMapper per row, and a JVM-shared one contends on
+  // Jackson's symbol-table locks at high thread counts
+  private def parse(json: String): JsonNode = graft.model.WikidataJson.mapper.readTree(json)
 
   /** `mainsnak_to_value` (ref: src/wikidataEmbed.py:104-147). Returned
     * Option is Python truthiness: callers must drop empty strings too.

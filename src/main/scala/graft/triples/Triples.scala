@@ -50,10 +50,20 @@ object Triples {
     }
   }
 
+  private val md5TL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private val HEX = "0123456789abcdef".toCharArray
+
   def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    d.map("%02x".format(_)).mkString
+    val md = md5TL.get(); md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = HEX((d(i) >> 4) & 0xf); out(i * 2 + 1) = HEX(d(i) & 0xf); i += 1
+    }
+    new String(out)
   }
 
   private def fromRow(r: ClaimRow, qidLabel: String, propLabelOpt: Option[String],
