@@ -35,6 +35,7 @@ final class KgPipeline(spark: SparkSession, root: String,
   val mentionsTbl = new MergeTable(spark, s"$root/mentions", Seq("url", "begin", "qid"))
   val linksTbl = new MergeTable(spark, s"$root/links", Seq("url", "begin", "rank"))
   val triplesTbl = new MergeTable(spark, s"$root/triples", Seq("uuid"))
+  val docsTbl = new MergeTable(spark, s"$root/docs", Seq("doc_id"))
   val canonTbl = new MergeTable(spark, s"$root/canon", Seq("id"))
   val nodesTbl = new MergeTable(spark, s"$root/nodes", Seq("id"))
   val edgesTbl = new MergeTable(spark, s"$root/edges", Seq("src", "dst", "kind"))
@@ -125,6 +126,35 @@ final class KgPipeline(spark: SparkSession, root: String,
       snap
     }
     checkFail("link")
+
+    // stage: docs — token-budget chunking + batched embedding into the
+    // vector-document table, deterministic _id = qid_lang_chunkIdx (the
+    // reference's stage 3: docker/3_Add_Wikidata_to_AstraDB/run.py:65-93,
+    // chunk T6, sink S8 — upsert by _id replaces the infinite-retry push)
+    lineage.runStage("docs", textsSnap) {
+      val t0 = System.nanoTime()
+      val labelMapB = spark.sparkContext.broadcast(
+        labelsTbl.read().select("id", "label").as[(String, String)].collect().toMap)
+      val chunks = payloads.flatMap { pp =>
+        WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
+          val e = WikidataJson.normalize(item, "en")
+          val textifier = new graft.textify.Textifier(
+            graft.textify.LangVariant(pp.lang), labelMapB.value.get)
+          val tok = new graft.textify.SimpleTokenizer(8)
+          graft.textify.Chunker.chunkText(textifier, e, tok, maxLength = 120)
+            .zipWithIndex.map { case (c, i) =>
+              (s"${e.id}_${pp.lang}_${i + 1}", e.id, pp.lang, i + 1, c)
+            }
+        }
+      }.toDF("doc_id", "qid", "lang", "chunk", "text")
+      val df = Embedder.embedDataset(
+        chunks.select("doc_id", "text").as[(String, String)]).toDF("doc_id", "vec")
+        .join(chunks, Seq("doc_id"))
+      val snap = docsTbl.merge(df)
+      lineage.capture("docs", textsSnap, df, (System.nanoTime() - t0) / 1000000)
+      snap
+    }
+    checkFail("docs")
 
     // stage: triples — statement extraction with label-resolution joins
     val triplesSnap = lineage.runStage("triples", labelsSnap) {

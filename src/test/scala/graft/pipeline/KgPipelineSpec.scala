@@ -63,6 +63,25 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("docs table: chunks under budget, deterministic ids, cached vectors match encode") {
+    root
+    import org.apache.spark.sql.functions.col
+    val docs = pipe.docsTbl.read()
+    assert(docs.count() >= n) // at least one chunk per item page
+    val sample = docs.filter(col("qid") === PagesGen.qid(3))
+      .orderBy("chunk")
+      .select("doc_id", "lang", "chunk", "text")
+      .as[(String, String, Int, String)].collect()
+    assert(sample.nonEmpty)
+    sample.zipWithIndex.foreach { case ((id, lang, chunk, text), i) =>
+      assert(id == s"${PagesGen.qid(3)}_${lang}_${chunk}" && chunk == i + 1)
+      assert(new graft.textify.SimpleTokenizer(8).tokenize(text).length <= 120)
+    }
+    val withVec = docs.filter(col("qid") === PagesGen.qid(3)).filter(col("chunk") === 1)
+      .select("text", "vec").as[(String, Seq[Float])].collect().head
+    assert(withVec._2 == graft.link.Embedder.encode(withVec._1).toSeq)
+  }
+
   test("canonicalization groups sameAs twins into one component") {
     root
     val canon = pipe.canonTbl.read().as[(String, String)].collect().toMap
