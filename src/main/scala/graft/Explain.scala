@@ -18,8 +18,17 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q6_forecast_revenue", "q2_revenue_by_nation", "kg4_triples", "s1_ann_brute")
     names.foreach { name =>
-      println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      if (name.startsWith("time:")) {
+        val q = name.stripPrefix("time:")
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).count()
+          println(f"[time] $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      } else {
+        println(s"\n========== $name ==========")
+        SparkEntry.queries(name)(spark, dir).explain("formatted")
+      }
     }
     spark.stop()
   }

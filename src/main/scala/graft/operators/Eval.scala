@@ -21,15 +21,15 @@ object Eval {
     * Output: (query_id, query_label, neighbor_id, neighbor_label, cos, rank, relevant)
     */
   def retrieve(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = emb(spark, dir)
+    val e = emb(spark, dir).withColumn("_n", Similarity.norm(col("embedding")))
     val qWin = Window.partitionBy("label").orderBy(asc("vec_id"))
     val queries = e.withColumn("rn", row_number().over(qWin)).filter(col("rn") === 1)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("label").as("query_label"))
+        col("label").as("query_label"), col("_n").as("_qn"))
     val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("query_label"),
         col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
-        Similarity.cosineCol(col("qvec"), col("embedding")).as("cos"))
+        Similarity.cosineWithNorms(col("qvec"), col("embedding"), col("_qn"), col("_n")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .withColumn("relevant", (col("neighbor_label") === col("query_label")).cast("int"))

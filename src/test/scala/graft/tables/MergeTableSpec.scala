@@ -1,0 +1,62 @@
+package graft.tables
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Unit contract of the Iceberg-semantics MERGE layer: upsert-by-key, new
+  * wins, untouched buckets carry over by manifest pointer (no rewrite),
+  * snapshot lineage, idempotent re-merge.
+  */
+class MergeTableSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory(Paths.get("target"), "mt-").toString
+
+  test("merge upserts by key; new rows win; row count tracked") {
+    val t = new MergeTable(spark, tmp(), Seq("id"), numBuckets = 8)
+    val s1 = t.merge(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "v"))
+    assert(s1 == 1 && t.rowCount == 3)
+    val s2 = t.merge(Seq(("b", 20), ("d", 4)).toDF("id", "v"))
+    assert(s2 == 2 && t.rowCount == 4)
+    val got = t.read().as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 1, "b" -> 20, "c" -> 3, "d" -> 4))
+  }
+
+  test("untouched buckets are carried by manifest pointer, not rewritten") {
+    val path = tmp()
+    val t = new MergeTable(spark, path, Seq("id"), numBuckets = 64)
+    t.merge((1 to 200).map(i => (s"k$i", i)).toDF("id", "v"))
+    val dirsAfter1 = Files.list(Paths.get(path, "data")).toArray.map(_.toString).toSet
+    t.merge(Seq(("k1", -1)).toDF("id", "v")) // touches one bucket
+    val dirsAfter2 = Files.list(Paths.get(path, "data")).toArray.map(_.toString).toSet
+    assert(dirsAfter2.contains(dirsAfter1.head)) // snap-1 data still referenced on disk
+    // snap-2 wrote only the touched bucket's directory
+    val snap2Buckets = Files.list(Paths.get(path, "data", "snap-2")).toArray
+      .map(_.toString).count(_.contains("_bucket="))
+    assert(snap2Buckets == 1, s"expected 1 rewritten bucket, got $snap2Buckets")
+    val got = t.read().as[(String, Int)].collect().toMap
+    assert(got("k1") == -1 && got.size == 200 && got("k200") == 200)
+  }
+
+  test("re-merging the same batch is idempotent (exactly-once semantics)") {
+    val t = new MergeTable(spark, tmp(), Seq("id"), numBuckets = 8)
+    val batch = Seq(("x", 1), ("y", 2)).toDF("id", "v")
+    t.merge(batch)
+    val before = t.read().collect().map(_.toString).sorted.toSeq
+    t.merge(batch)
+    val after = t.read().collect().map(_.toString).sorted.toSeq
+    assert(before == after && t.rowCount == 2)
+  }
+
+  test("composite keys") {
+    val t = new MergeTable(spark, tmp(), Seq("a", "b"), numBuckets = 4)
+    t.merge(Seq(("x", 1, "v1"), ("x", 2, "v2")).toDF("a", "b", "v"))
+    t.merge(Seq(("x", 1, "v9")).toDF("a", "b", "v"))
+    val got = t.read().as[(String, Int, String)].collect().toSet
+    assert(got == Set(("x", 1, "v9"), ("x", 2, "v2")))
+  }
+}
