@@ -28,6 +28,13 @@ object SparkEntry {
     "q10_daily_users" -> (R.q10DailyUsers _),
     "q11_part_stats" -> (R.q11PartStats _),
     "q12_items_per_order" -> (R.q12ItemsPerOrder _),
+    "q13_rollup" -> (R.q13Rollup _),
+    "q14_lag" -> (R.q14Lag _),
+    "q15_ntile" -> (R.q15Ntile _),
+    "q16_conditional_agg" -> (R.q16ConditionalAgg _),
+    "q17_string_funcs" -> (R.q17StringFuncs _),
+    "q18_setops" -> (R.q18SetOps _),
+    "q19_argmax_per_brand" -> (R.q19ArgmaxPerBrand _),
     "d1_doc_stats" -> (T.d1DocStats _),
     "d2_exact_dedup_stats" -> (T.d2ExactDedupStats _),
     "d3_dup_groups" -> (T.d3DupGroups _),
@@ -153,6 +160,48 @@ object SparkEntry {
         |  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
         |) ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q14_lag" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |  round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 0.0), 2) AS delta
+        |FROM orders""".stripMargin,
+    "q15_ntile" ->
+      """SELECT c_mktsegment, quartile, count(*) AS n,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM (SELECT c_mktsegment, c_acctbal,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+        |  FROM customer)
+        |GROUP BY c_mktsegment, quartile""".stripMargin,
+    "q16_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q17_string_funcs" ->
+      """SELECT upper(substring(p_type, 1, 5)) AS type_prefix, count(*) AS n,
+        |  max(length(p_name)) AS max_name_len,
+        |  min(concat(p_brand, '#', p_type)) AS min_brand_type
+        |FROM part GROUP BY 1""".stripMargin,
+    "q18_setops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |     INTERSECT
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_both,
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |     EXCEPT
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_only_f""".stripMargin,
+    "q19_argmax_per_brand" ->
+      """SELECT p_brand, p_partkey AS top_partkey, p_retailprice AS top_price
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn FROM part)
+        |WHERE rn = 1""".stripMargin,
     "d1_doc_stats" ->
       """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
         |  min(length(text)) AS min_len, max(length(text)) AS max_len

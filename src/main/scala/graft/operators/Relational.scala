@@ -152,6 +152,70 @@ object Relational {
         min("p_size").as("min_size"),
         max("p_size").as("max_size"))
 
+  /** ROLLUP hierarchy totals (grouping-sets family). */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** lag(): per-customer consecutive order deltas. */
+  def q14Lag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    table(spark, dir, "orders")
+      .withColumn("prev_total", lag("o_totalprice", 1).over(w))
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        round(col("o_totalprice") - coalesce(col("prev_total"), lit(0.0)), 2).as("delta"))
+  }
+
+  /** ntile(): account-balance quartiles within market segment. */
+  def q15Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(asc("c_acctbal"), asc("c_custkey"))
+    table(spark, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n"),
+        min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"))
+  }
+
+  /** Conditional aggregation (sum(case when ...)). */
+  def q16ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_totalprice") > 100000, 1).otherwise(0)).as("n_big"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        count(lit(1)).as("n"))
+
+  /** String-function pipeline on the scan (upper/substring/concat/length). */
+  def q17StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .groupBy(upper(substring(col("p_type"), 1, 5)).as("type_prefix"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(length(col("p_name"))).as("max_name_len"),
+        min(concat(col("p_brand"), lit("#"), col("p_type"))).as("min_brand_type"))
+
+  /** Set operations: INTERSECT / EXCEPT over customer key sets. */
+  def q18SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+    val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+    val both = f.intersect(o).count()
+    val onlyF = f.except(o).count()
+    import spark.implicits._
+    Seq((both, onlyF)).toDF("n_both", "n_only_f")
+  }
+
+  /** Per-group argmax (correlated "max per brand" as a window). */
+  def q19ArgmaxPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"), asc("p_partkey"))
+    table(spark, dir, "part")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_brand"), col("p_partkey").as("top_partkey"),
+        col("p_retailprice").as("top_price"))
+  }
+
   /** Two-level aggregation: avg lineitems per order by status. */
   def q12ItemsPerOrder(spark: SparkSession, dir: String): DataFrame = {
     val perOrder = table(spark, dir, "lineitem")

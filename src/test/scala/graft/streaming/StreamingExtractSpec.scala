@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.model.WikidataJson
+import graft.pipeline.PagesGen
+import graft.triples.Triples
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingExtractSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val setup: (String, org.apache.spark.broadcast.Broadcast[Map[String, String]]) = {
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "stream-").toString
+    val pagesDir = s"$dir/pages"
+    PagesGen.pages(spark, 80, partitions = 4).write.parquet(pagesDir)
+    val labels = graft.pipeline.TextifyStage
+      .harvestLabels(spark, graft.pipeline.TextifyStage.payloads(spark, spark.read.parquet(pagesDir)))
+      .select("id", "label").as[(String, String)].collect().toMap
+    (pagesDir, spark.sparkContext.broadcast(labels))
+  }
+
+  test("streaming triple extraction == batch extraction") {
+    val (pagesDir, labels) = setup
+    val ckpt = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ckpt-").toString
+    val streamed = StreamingExtract.drain(spark,
+      StreamingExtract.triplesStream(spark, pagesDir, labels), "triples_stream", ckpt)
+      .as[graft.model.Triple].collect().sortBy(_.uuid)
+
+    val batch = graft.pipeline.TextifyStage
+      .payloads(spark, spark.read.parquet(pagesDir))
+      .collect()
+      .flatMap(pp => WikidataJson.parseLine(pp.payload))
+      .flatMap(item => Triples.fromItem(item, labels.value.get))
+      .sortBy(_.uuid)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("restart with the same checkpoint processes nothing new (offset resume)") {
+    val (pagesDir, labels) = setup
+    val base = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ckpt2-").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    def runOnce(): Long = {
+      val q = StreamingExtract.textStream(spark, pagesDir, labels)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    val first = runOnce()
+    assert(first > 0)
+    // restart on the same checkpoint: committed offsets ⇒ no new rows appended
+    val second = runOnce()
+    assert(second == first, s"expected resume to skip all files: $first -> $second")
+  }
+}
