@@ -57,12 +57,28 @@ final class MergeTable(spark: SparkSession, val path: String,
   /** Current table contents (without the internal bucket column). */
   def read(): DataFrame = currentSnapshot match {
     case None => throw new IllegalStateException(s"table $path has no snapshot")
-    case Some(v) =>
-      val (_, buckets, _) = readManifest(v)
-      val dirs = buckets.toSeq.map { case (b, snap) => bucketDir(snap, b) }
-        .filter(d => Files.exists(Paths.get(d)))
-      if (dirs.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(dirs: _*)
+    case Some(v) => readSnapshot(v)
+  }
+
+  /** Time travel: the table as of snapshot `v` — manifests are immutable and
+    * old bucket files are never rewritten, so any historical snapshot stays
+    * readable (Iceberg snapshot-read semantics).
+    */
+  def readSnapshot(v: Long): DataFrame = {
+    val (_, buckets, _) = readManifest(v)
+    val dirs = buckets.toSeq.map { case (b, snap) => bucketDir(snap, b) }
+      .filter(d => Files.exists(Paths.get(d)))
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** All snapshot ids, oldest first. */
+  def snapshots: Seq[Long] = {
+    val dir = Paths.get(path, "_manifests")
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).toArray.map(_.toString)
+      .flatMap(s => "v(\\d+)\\.json$".r.findFirstMatchIn(s).map(_.group(1).toLong))
+      .sorted.toSeq
   }
 
   def readOrEmpty(schemaOf: DataFrame): DataFrame =

@@ -52,6 +52,17 @@ class MergeTableSpec extends AnyFunSuite {
     assert(before == after && t.rowCount == 2)
   }
 
+  test("time travel: historical snapshots stay readable after later merges") {
+    val t = new MergeTable(spark, tmp(), Seq("id"), numBuckets = 8)
+    t.merge(Seq(("a", 1), ("b", 2)).toDF("id", "v"))
+    t.merge(Seq(("b", 20), ("c", 3)).toDF("id", "v"))
+    t.merge(Seq(("a", 100)).toDF("id", "v"))
+    assert(t.snapshots == Seq(1L, 2L, 3L))
+    assert(t.readSnapshot(1).as[(String, Int)].collect().toMap == Map("a" -> 1, "b" -> 2))
+    assert(t.readSnapshot(2).as[(String, Int)].collect().toMap == Map("a" -> 1, "b" -> 20, "c" -> 3))
+    assert(t.read().as[(String, Int)].collect().toMap == Map("a" -> 100, "b" -> 20, "c" -> 3))
+  }
+
   test("composite keys") {
     val t = new MergeTable(spark, tmp(), Seq("a", "b"), numBuckets = 4)
     t.merge(Seq(("x", 1, "v1"), ("x", 2, "v2")).toDF("a", "b", "v"))

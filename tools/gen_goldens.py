@@ -247,6 +247,31 @@ FIXTURES.append(entity(
     sitelinks={"enwiki": {"site": "enwiki", "title": "LW"}},
     claims={"P31": [claim(item_v("Q515"))]}))
 
+# Q90011 — non-ASCII byte-identity: Arabic label/desc (RTL), CJK values,
+# accents and combining marks in strings
+LABELS["Q90011"] = "مدينة الاختبار"
+LABELS["Q90012"] = "測試城市"
+FIXTURES.append(entity(
+    "Q90011",
+    labels=lv("en", "مدينة الاختبار"),
+    descriptions=lv("en", "مدينة اصطناعية für Tests — café"),
+    aliases={"en": [{"value": "المدينة"}, {"value": "Prüfstadt"}]},
+    sitelinks={"enwiki": {"site": "enwiki", "title": "Test"}},
+    claims={
+        "P31": [claim(item_v("Q90012"))],
+        "P1448": [claim(sv("monolingualtext", {"text": "測試值 with mixed 文字", "language": "zh"}))],
+        "P123": [claim(sv("string", "naïve coöperation — étoile"))],
+        "P1082": [claim(qty_v("+42"))],
+    }))
+
+# Q90012 — CJK label referenced as a value by Q90011
+FIXTURES.append(entity(
+    "Q90012",
+    labels=lv("en", "測試城市"),
+    descriptions=lv("en", "シンセティック test entity 合成"),
+    sitelinks={"enwiki": {"site": "enwiki", "title": "CJK"}},
+    claims={"P17": [claim(item_v("Q90011"))]}))
+
 # Q90010 — label but no description in any language; statements skip it
 FIXTURES.append(entity(
     "Q90010",
@@ -449,6 +474,86 @@ for raw in FIXTURES:
               for b in (30, 60, 500)}
     with open(f"{OUT}/goldens/chunks/{qid}.json", "w") as f:
         json.dump(chunks, f, ensure_ascii=False, indent=1)
+
+# --------------------------------------------------------------------------
+# 7b. REST-datatype phrasing (T13): run the reference's real methods
+#     (ast-extracted, network stubbed) over REST-shaped fixture items
+# --------------------------------------------------------------------------
+
+rest_src = extract_functions(
+    f"{REF}/experimental_run_scripts/wikidata_restapi_textification.py",
+    ["check_and_return_value", "convert_value_to_string", "make_statement",
+     "convert_wikidata_item_to_statements"],
+    class_name="WikidataTextification")
+
+import logging
+from functools import partial
+from multiprocessing.dummy import Pool as ThreadPool
+
+
+class RestShim:
+    def __init__(self):
+        self.counter = 0
+        self.verbose = False
+        self.embedder = None
+        self.n_cores = 2
+        self.lang = "en"
+        self.logger = logging.getLogger("rest")
+
+    # label-store stand-ins for the network fetches (string or '' if absent)
+    def get_property_from_wikidata(self, pid, key=None):
+        return (LABELS.get(pid, ""), None)
+
+    def get_item_from_wikidata(self, qid, key=None):
+        return (LABELS.get(qid, ""), None)
+
+
+rest_ns = {"partial": partial, "ThreadPool": ThreadPool,
+           "tqdm": (lambda x, total=None: x), "isinstance": isinstance}
+exec(rest_src, rest_ns)
+for fn in ("check_and_return_value", "convert_value_to_string",
+           "make_statement", "convert_wikidata_item_to_statements"):
+    setattr(RestShim, fn, rest_ns[fn])
+
+
+def rest_stmt(dtype, content):
+    return {"property": {"id": "X", "data-type": dtype}, "value": {"content": content}}
+
+
+REST_ITEMS = [
+    {"item_data": {
+        "id": "Q90001",
+        "labels": {"en": "Fixture City"},
+        "descriptions": {"en": "synthetic test city"},
+        "statements": {
+            "P31": [rest_stmt("wikibase-item", "Q515")],
+            "P580": [rest_stmt("time", {"time": "+1987-06-17T12:34:56Z", "precision": 11})],
+            "P1082": [rest_stmt("quantity", {"amount": "+120345", "unit": "1"}),
+                      rest_stmt("quantity", {"amount": "+99", "unit": "1"})],  # label-accumulation quirk
+            "P1448": [rest_stmt("monolingualtext", {"text": "City of Fixtures", "language": "en"})],
+            "P123": [rest_stmt("external-id", "EXT-123")],        # no content -> skipped
+            "P17": [rest_stmt("url", "https://example.test")],    # skipped, label mutated
+            "P9999": [rest_stmt("wikibase-item", "Q515")],        # pid without label -> []
+            "P279": [rest_stmt("wikibase-item", "Q404")],         # value label missing -> ''
+            "P361": [rest_stmt("wikibase-item", ["Q515"])],       # list unwrap
+        }}},
+    {"item_data": {
+        "id": "Q90007",
+        "labels": {"en": "Bare Entity"},
+        "descriptions": {},   # .get -> '' description
+        "statements": {}}},
+]
+os.makedirs(f"{OUT}/goldens/rest", exist_ok=True)
+os.makedirs(f"{OUT}/fixtures", exist_ok=True)
+with open(f"{OUT}/fixtures/rest_items.json", "w") as f:
+    json.dump(REST_ITEMS, f, ensure_ascii=False, indent=1)
+for item in REST_ITEMS:
+    shim = RestShim()
+    rows = shim.convert_wikidata_item_to_statements(item)
+    for r in rows:
+        r.pop("embedding", None)
+    with open(f"{OUT}/goldens/rest/{item['item_data']['id']}.json", "w") as f:
+        json.dump(rows, f, ensure_ascii=False, indent=1)
 
 # time matrix: run the real time_to_text over a grid; record RAISE on error
 time_cases = []
