@@ -23,12 +23,14 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** dot(a,b) as a Column (double). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** dot(a,b) as a Column (double) — the codegen'd Catalyst expression
+    * (graft.functions.FloatVectorDot); arithmetic is bit-identical to the
+    * portable `aggregate(zip_with(...))` form (float multiply, double sum),
+    * so oracle-exact results are unchanged.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.fdot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosineCol(a: Column, b: Column): Column = {
     val d = dot(a, b)
