@@ -37,8 +37,9 @@ object LangId {
     }
   }
 
-  private lazy val profiles: Map[String, Map[String, Int]] = seeds.map { case (l, s) =>
-    l -> trigramCounts(s)
+  private lazy val profiles: Map[String, (Map[String, Int], Double)] = seeds.map { case (l, s) =>
+    val counts = trigramCounts(s)
+    l -> (counts, math.sqrt(counts.values.map(v => v.toDouble * v).sum))
   }
 
   /** Predict the language of `text`; "und" = undetermined (too short / no
@@ -49,8 +50,7 @@ object LangId {
     if (counts.isEmpty) return "und"
     val norm = math.sqrt(counts.values.map(v => v.toDouble * v).sum)
     var best = "und"; var bestScore = 0.0
-    profiles.foreach { case (lang, prof) =>
-      val pnorm = math.sqrt(prof.values.map(v => v.toDouble * v).sum)
+    profiles.foreach { case (lang, (prof, pnorm)) =>
       var dot = 0.0
       counts.foreach { case (g, c) => prof.get(g).foreach(p => dot += c.toDouble * p) }
       val score = if (norm * pnorm == 0) 0.0 else dot / (norm * pnorm)
