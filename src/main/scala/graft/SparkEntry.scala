@@ -85,6 +85,7 @@ object SparkEntry {
     "kg4_triples" -> (KgQueries.triples _),
     "kg5_canon" -> (KgQueries.canon _),
     "kg6_chunks" -> ((s, d) => KgQueries.chunks(s, d)),
+    "kg7_triples_for_url" -> ((s, d) => KgQueries.triplesForUrl(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -78,6 +78,18 @@ object KgQueries {
       .filter(col("id") =!= col("component")) // only non-trivial mappings
   }
 
+  /** SURVEY.md §7.3's literal end-to-end query: all (subj, pred, obj) for a
+    * given url. The url→qid mapping is the pages table's contract
+    * (url = …/wiki/{qid}), so this is a pushed-down filter on the subject
+    * key — at scale a bucket-pruned point read of the triples table.
+    */
+  def triplesForUrl(spark: SparkSession, dir: String,
+                    url: String = PagesGen.urlOf(PagesGen.qid(7))): DataFrame = {
+    val qid = url.substring(url.lastIndexOf('/') + 1)
+    triples(spark, dir).filter(col("qid") === qid)
+      .withColumn("url", lit(url))
+  }
+
   /** Chunk explode (P9/T6): entity text → token-budget chunks with
     * deterministic ids `qid_lang_chunkIdx` (ref: docker/3:74-88).
     */
