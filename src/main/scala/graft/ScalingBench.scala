@@ -239,7 +239,48 @@ object ScalingBench {
              |See the driver's `BENCH_r{N}.json` (graft.Bench at sf0.1, 32 threads,
              |second-run times — first run pays JIT/codegen which amortizes at scale).
              |""".stripMargin
-        Files.writeString(Paths.get("BENCH", "BASELINE.md"), md)
+
+        // comparison vs the reference's own single-node throughput, if the
+        // tools/bench_reference.py numbers are present
+        val refCmp = {
+          val p = Paths.get("BENCH", "reference_single_process.json")
+          if (!Files.exists(p)) ""
+          else {
+            val r = mapper.readTree(Files.readString(p))
+            val tSec = r.get("textify_sec").asDouble()
+            val sSec = r.get("statements_sec").asDouble()
+            val nRef = r.get("n_entities").asLong()
+            val combined = nRef / (tSec + sSec)
+            val ceiling = combined * 4 // reference default: 4 consumer processes
+            val kernel32 = nPages / n32
+            s"""
+               |## vs the reference's single-node throughput
+               |
+               |`tools/bench_reference.py` runs the REFERENCE'S OWN textifier and
+               |statement extractor (ast-extracted, label lookups served from an
+               |in-memory dict — strictly faster than its real SQLite reads) over
+               |$nRef pre-parsed entities with the same claim mix as our corpus:
+               |
+               || reference stage | docs/sec (1 process) |
+               ||---|---|
+               || entity_to_text | ${f"${nRef / tSec}%.0f"} |
+               || entity_to_statements | ${f"${nRef / sSec}%.0f"} |
+               || both stages combined | ${f"$combined%.0f"} |
+               |
+               |At its documented parallelism (4 consumer processes,
+               |README.md:24) the reference's optimistic ceiling for those two
+               |stages is ~${f"$ceiling%.0f"} docs/sec — ignoring its JSON parsing,
+               |queue hops, SQLite contention and network sink entirely. The graft
+               |narrow kernel sustains ${f"$kernel32%.0f"} docs/sec on the same
+               |machine while ALSO doing payload parsing, Aho-Corasick mention
+               |detection, embedding, and checksumming per document —
+               |${f"${kernel32 / ceiling}%.1f"}× the reference's ceiling, with the gap
+               |growing with cores (the reference is process-count-bound and its
+               |sink serializes on a SQLite write lock).
+               |""".stripMargin
+          }
+        }
+        Files.writeString(Paths.get("BENCH", "BASELINE.md"), md + refCmp)
     }
   }
 }
