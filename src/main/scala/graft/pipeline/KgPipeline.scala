@@ -56,6 +56,24 @@ final class KgPipeline(spark: SparkSession, root: String,
       snap
     }
     checkFail("ingest")
+    runFrom(pagesSnap)
+  }
+
+  /** Incremental ingest: MERGE a batch of new/changed pages (upsert by url)
+    * and run every downstream stage against the new pages snapshot (stage
+    * markers are per input snapshot, so the new chain executes exactly
+    * once). Derived stages recompute over the merged corpus and their
+    * MERGE-upserts converge: unchanged rows rewrite to identical values
+    * (deterministic ids), changed/new rows update in place. Delta-only
+    * recomputation (process just the changed buckets) is the flagged
+    * refinement for true 10^12-scale increments.
+    */
+  def ingest(newPages: org.apache.spark.sql.DataFrame): Long = {
+    val pagesSnap = pagesTbl.merge(newPages)
+    runFrom(pagesSnap)
+  }
+
+  private def runFrom(pagesSnap: Long): Long = {
 
     lazy val payloads = TextifyStage.payloads(spark, pagesTbl.read()).persist()
 

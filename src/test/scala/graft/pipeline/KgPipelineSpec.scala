@@ -122,6 +122,45 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(snapsBefore == snapsAfter)
   }
 
+  test("incremental ingest: new + changed pages upsert through every stage") {
+    root
+    import org.apache.spark.sql.functions.{col, lit}
+    val before = pipe.textsTbl.read().count()
+    val beforeTriples = pipe.triplesTbl.read().count()
+
+    // one changed page (same url, edited description in the payload) and one
+    // brand-new page
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val changedPayload = PagesGen.entityJson(3, n, mapper)
+      .replace("synthetic entity number 3", "EDITED entity number 3")
+    def html(payload: String, title: String) =
+      (s"""<html><head><title>$title</title></head><body>""" +
+        s"""<script id="wd-entity" type="application/json">$payload</script></body></html>""")
+        .getBytes("UTF-8")
+    val newQid = "Q999999"
+    val newPayload = PagesGen.entityJson(0, n, mapper)
+      .replace(PagesGen.qid(0), newQid)
+      .replace(PagesGen.labelOfIndex(0), "Brand New Entity")
+    val batch = Seq(
+      (PagesGen.urlOf(PagesGen.qid(3)), new java.sql.Timestamp(2000000000000L),
+        html(changedPayload, "edited"), "", "en"),
+      (PagesGen.urlOf(newQid), new java.sql.Timestamp(2000000000001L),
+        html(newPayload, "new"), "", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+
+    pipe.ingest(batch)
+
+    val texts = pipe.textsTbl.read()
+    assert(texts.count() == before + 1) // upsert + one new url
+    val edited = texts.filter(col("url") === PagesGen.urlOf(PagesGen.qid(3)))
+      .select("text").as[String].collect().head
+    assert(edited.contains("EDITED entity number 3"))
+    val fresh = texts.filter(col("url") === PagesGen.urlOf(newQid)).count()
+    assert(fresh == 1)
+    assert(pipe.triplesTbl.read().filter(col("qid") === newQid).count() > 0)
+    assert(pipe.triplesTbl.read().count() > beforeTriples)
+  }
+
   test("a killed job resumes exactly: same final tables as an uninterrupted run") {
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "kgtest-resume-").toString
