@@ -48,18 +48,27 @@ object SparkEntry {
     "s1_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     // threshold 0.3: the synthetic embeddings have no true near-dups (max
-    // pairwise cosine ≈ 0.46); real corpora would use ~0.95+
-    "s3_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d, threshold = 0.3)),
+    // pairwise cosine ≈ 0.46); real corpora would use ~0.95+.
+    // s3 = exact all-pairs (DuckDB-oracle-backed verification baseline);
+    // s4 = LSH-bucketed scale path, recall-spec'd against s3.
+    "s3_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupExact(s, d, threshold = 0.3)),
+    "s4_embedding_neardup_lsh" -> ((s, d) => Similarity.embeddingNearDup(s, d, threshold = 0.3)),
     // retrieval eval
     "em1_retrieval_metrics" -> ((s, d) => Eval.metrics(s, d)),
     "em2_rerank" -> ((s, d) => Eval.rerank(s, d)),
+    // comparative filtered retrieval (J10/F7): per-query candidate sets
+    "em3_filtered_retrieval" -> ((s, d) => Eval.retrieveComparative(s, d)),
     // text ops
     "lid1_langid_fingerprint" -> ((s, d) => LangId.detectDocs(s, d)),
     // multimodal plumbing
     "mm1_media_stats" -> ((s, d) => graft.multimodal.Media.mediaStats(s, d)),
-    // streaming semantics in batch mode
-    "st1_sessionize" -> ((s, d) => graft.streaming.EventsStream.sessionize(
-      s, s.read.parquet(s"$d/events.parquet"))),
+    // streaming semantics in batch mode (sum rounded so the DuckDB oracle's
+    // per-session summation order can't flip a low bit)
+    "st1_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.streaming.EventsStream.sessionize(s, s.read.parquet(s"$d/events.parquet"))
+        .withColumn("sum_value", round(col("sum_value"), 2))
+    }),
     // keyword search (BM25 over an inverted index — the S12/K2 analog)
     "kw1_keyword_search" -> ((s, d) => graft.operators.KeywordSearch.searchDocs(s, d)),
     // embedding cache (J9/E2): two passes; second must be all hits
@@ -87,6 +96,36 @@ object SparkEntry {
     "kg6_chunks" -> ((s, d) => KgQueries.chunks(s, d)),
     "kg7_triples_for_url" -> ((s, d) => KgQueries.triplesForUrl(s, d)),
   )
+
+  /** Exact DuckDB replica of the engine's cosine arithmetic: FLOAT*FLOAT
+    * multiply, double accumulate in array order — bit-identical to
+    * `graft_fdot` / `aggregate(zip_with(...))` (verified), so value-level
+    * oracle rows (not just ranks) compare exactly.
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), z -> CAST(z[1]*z[2] AS DOUBLE)), 'sum')"
+
+  /** Shared retrieval CTE for the em* oracles — mirrors Eval.retrieve:
+    * queries = lowest vec_id per label; rank by (cos desc, neighbor_id asc).
+    */
+  private def retrievalCte(extraCond: String = ""): String =
+    s"""WITH nn AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, label AS query_label, embedding AS qvec, nrm AS qn
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM nn) t
+       |  WHERE rn = 1),
+       |sc AS (
+       |  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+       |    CASE WHEN q.qn * e.nrm = 0 THEN 0.0
+       |         ELSE ${sqlDot("q.qvec", "e.embedding")} / (q.qn * e.nrm) END AS cos
+       |  FROM nn e JOIN q ON e.vec_id != q.query_id $extraCond),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       |    CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END AS relevant
+       |  FROM sc)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -156,7 +195,7 @@ object SparkEntry {
         |  min(p_size) AS min_size, max(p_size) AS max_size
         |FROM part GROUP BY p_brand""".stripMargin,
     "q12_items_per_order" ->
-      """SELECT o_orderstatus, sum(n_items) AS total_items, count(*) AS n_orders
+      """SELECT o_orderstatus, CAST(sum(n_items) AS BIGINT) AS total_items, count(*) AS n_orders
         |FROM orders JOIN (
         |  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
         |) ON o_orderkey = l_orderkey
@@ -178,8 +217,8 @@ object SparkEntry {
         |GROUP BY c_mktsegment, quartile""".stripMargin,
     "q16_conditional_agg" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q17_string_funcs" ->
@@ -204,7 +243,7 @@ object SparkEntry {
         |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn FROM part)
         |WHERE rn = 1""".stripMargin,
     "d1_doc_stats" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(length(text)) AS min_len, max(length(text)) AS max_len
         |FROM documents GROUP BY lang, source""".stripMargin,
     "d2_exact_dedup_stats" ->
@@ -215,7 +254,7 @@ object SparkEntry {
         |FROM documents GROUP BY text HAVING count(*) > 1""".stripMargin,
     "d4_token_counts" ->
       """SELECT lang,
-        |  sum(n_tokens) AS total_tokens, max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens, max(n_tokens) AS max_tokens,
         |  count(*) AS n_docs
         |FROM (SELECT lang,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -261,5 +300,101 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s3_embedding_neardup" ->
+      s"""WITH nn AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
+         |         ELSE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) END AS cos
+         |  FROM nn x JOIN nn y ON x.vec_id < y.vec_id)
+         |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "em1_retrieval_metrics" ->
+      s"""${retrievalCte()},
+         |pq AS (
+         |  SELECT query_id,
+         |    min(CASE WHEN relevant = 1 THEN rank END) AS first_hit_rank,
+         |    sum(CASE WHEN relevant = 1 THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
+         |    sum(relevant) AS n_rel,
+         |    max(CASE WHEN rank = 1 THEN relevant END) AS top1_hit,
+         |    max(CASE WHEN relevant = 1 THEN cos END) AS best_rel,
+         |    max(CASE WHEN relevant = 0 THEN cos END) AS best_irrel
+         |  FROM r WHERE rank <= 10 GROUP BY query_id),
+         |pq2 AS (
+         |  SELECT *,
+         |    CASE WHEN n_rel > 0 THEN list_aggregate(
+         |      list_transform(range(1, CAST(least(n_rel, 10) AS BIGINT) + 1), i -> 1.0 / log2(i + 1)), 'sum')
+         |    ELSE 0.0 END AS idcg
+         |  FROM pq)
+         |SELECT count(*) AS n_queries,
+         |  round(avg(CASE WHEN first_hit_rank IS NOT NULL THEN 1.0 / first_hit_rank ELSE 0.0 END), 6) AS mrr,
+         |  round(avg(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END), 6) AS ndcg,
+         |  round(avg(coalesce(top1_hit, 0)), 6) AS accuracy,
+         |  round(avg(CASE WHEN best_rel IS NOT NULL AND best_irrel IS NOT NULL THEN
+         |      ln((best_rel + 1) / 2 / (1.0 - (best_rel + 1) / 2 + 1e-9)) -
+         |      ln((best_irrel + 1) / 2 / (1.0 - (best_irrel + 1) / 2 + 1e-9)) END), 6) AS log_odds_gap
+         |FROM pq2""".stripMargin,
+    "em2_rerank" ->
+      s"""${retrievalCte()},
+         |rr AS (
+         |  SELECT query_id, neighbor_id, rank,
+         |    round(CAST('0x' || substring(md5(CAST(query_id AS VARCHAR) || '_' || CAST(neighbor_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0, 6) AS cross_score
+         |  FROM r WHERE rank <= 10)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cross_score DESC, rank ASC) AS new_rank,
+         |  neighbor_id, cross_score
+         |FROM rr""".stripMargin,
+    "em3_filtered_retrieval" ->
+      s"""${retrievalCte("AND (e.label = q.query_label OR e.label = q.query_label + 1)")}
+         |SELECT query_id, neighbor_id, neighbor_label, rank, relevant, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 10""".stripMargin,
+    "st1_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e)
+        |SELECT user_id, min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+        |  CAST(count(*) AS INTEGER) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "kw1_keyword_search" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1,'spark'),(1,'window'),(1,'batch'),
+        |  (2,'customer'),(2,'join'),(2,'filter'),
+        |  (3,'vector'),(3,'merge'),(3,'stream'),
+        |  (4,'the'),(4,'quick'),(4,'missing'),(4,'terms')),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\W+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |stats AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    round(sum(ln((nd.n - s.df + 0.5) / (s.df + 0.5) + 1.0)
+        |      * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / ad.avgdl))), 6) AS score,
+        |    count(*) AS n_matched_terms
+        |  FROM post p JOIN q ON p.term = q.term
+        |  JOIN stats s ON s.term = p.term
+        |  JOIN dl d ON d.doc_id = p.doc_id
+        |  CROSS JOIN nd CROSS JOIN ad
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+        |SELECT query_id, doc_id, score, n_matched_terms, rank FROM rk WHERE rank <= 10""".stripMargin,
+    "cache1_embedding_cache" ->
+      """SELECT count(*) AS n_first, count(DISTINCT text) AS misses_first,
+        |  count(*) AS n_second, CAST(0 AS BIGINT) AS misses_second
+        |FROM documents""".stripMargin,
   )
 }

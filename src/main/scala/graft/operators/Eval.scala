@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -19,14 +19,24 @@ object Eval {
 
   /** Top-K retrieval per query with relevance marks.
     * Output: (query_id, query_label, neighbor_id, neighbor_label, cos, rank, relevant)
+    *
+    * `candidateFilter`, when given, restricts the candidate side per query
+    * BEFORE scoring — the reference's retrieval metadata filters (J10/F7,
+    * ref: src/wikidataRetriever.py:136-187: `{$or: [{Language: l}…]}` and
+    * per-query comparative candidate-QID sets). The predicate may reference
+    * both candidate columns (`label`, `vec_id`) and query columns
+    * (`query_label`, `query_id`), so it is pushed into the join condition —
+    * at scale it prunes candidates before any vector arithmetic runs.
     */
-  def retrieve(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def retrieve(spark: SparkSession, dir: String, k: Int = 10,
+               candidateFilter: Option[Column] = None): DataFrame = {
     val e = emb(spark, dir).withColumn("_n", Similarity.norm(col("embedding")))
     val qWin = Window.partitionBy("label").orderBy(asc("vec_id"))
     val queries = e.withColumn("rn", row_number().over(qWin)).filter(col("rn") === 1)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("label").as("query_label"), col("_n").as("_qn"))
-    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    val joinCond = candidateFilter.foldLeft(col("vec_id") =!= col("query_id"))(_ && _)
+    val scored = e.join(broadcast(queries), joinCond)
       .select(col("query_id"), col("query_label"),
         col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
         Similarity.cosineWithNorms(col("qvec"), col("embedding"), col("_qn"), col("_n")).as("cos"))
@@ -35,23 +45,33 @@ object Eval {
       .withColumn("relevant", (col("neighbor_label") === col("query_label")).cast("int"))
   }
 
+  /** Comparative filtered retrieval (J10 + F7): each query searches only its
+    * own candidate set — here, neighbors whose label is in
+    * {query_label, query_label + 1} — the `$or` metadata-filter shape of the
+    * reference's batch_retrieve. Output: top-K per query with rounded cos.
+    */
+  def retrieveComparative(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    retrieve(spark, dir, k, Some(
+      col("label") === col("query_label") || col("label") === col("query_label") + 1))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("rank"), col("relevant"), round(col("cos"), 6).as("cos"))
+
   /** Rerank the retrieved K with a second scorer and re-sort — K3 semantics
     * (ref: docker/5_Run_Rerank/run.py:25-32). The stand-in "cross-encoder"
-    * is a deterministic hash-mix of (query, candidate) ids; what matters is
-    * the operator shape: per-query array re-sort without re-shuffling the
-    * corpus.
+    * is a deterministic md5-derived score of (query, candidate) ids (chosen
+    * over xxhash64 so the DuckDB oracle can reproduce it); ties resolve by
+    * the original retrieval rank, matching the reference's *stable*
+    * `sorted(-score)` over the retrieval-ordered list.
     */
   def rerank(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val crossScore = pmod(xxhash64(col("query_id"), col("neighbor_id")), lit(1000000)).cast("double") / 1000000.0
+    val crossScore = round(
+      conv(substring(md5(concat_ws("_", col("query_id"), col("neighbor_id"))), 1, 8), 16, 10)
+        .cast("long") / 4294967296.0, 6)
+    val w = Window.partitionBy("query_id").orderBy(desc("cross_score"), asc("rank"))
     retrieve(spark, dir, k)
       .withColumn("cross_score", crossScore)
-      .groupBy("query_id")
-      .agg(reverse(array_sort(collect_list(struct(col("cross_score"), col("neighbor_id")))))
-        .as("reranked"))
-      .select(col("query_id"), posexplode(col("reranked")))
-      .select(col("query_id"), (col("pos") + 1).as("new_rank"),
-        col("col.neighbor_id").as("neighbor_id"),
-        round(col("col.cross_score"), 6).as("cross_score"))
+      .withColumn("new_rank", row_number().over(w))
+      .select(col("query_id"), col("new_rank"), col("neighbor_id"), col("cross_score"))
   }
 
   /** MRR / NDCG@K / accuracy / log-odds over the retrieval

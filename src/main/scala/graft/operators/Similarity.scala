@@ -102,6 +102,23 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: every (a, b) with a < b and
+    * cosine ≥ threshold. All-pairs by construction — the DuckDB-oracle-exact
+    * verification baseline and the right call while one side fits broadcast;
+    * [[embeddingNearDup]] (LSH-bucketed) is the both-sides-large scale path
+    * and is recall-tested against this.
+    */
+  def embeddingNearDupExact(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val e = emb(spark, dir).withColumn("_n", norm(col("embedding")))
+    val l = e.select(col("vec_id").as("a"), col("embedding").as("va"), col("_n").as("_na"))
+    val r = e.select(col("vec_id").as("b"), col("embedding").as("vb"), col("_n").as("_nb"))
+    l.join(broadcast(r), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        cosineWithNorms(col("va"), col("vb"), col("_na"), col("_nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (pairs within the
     * same bucket with cosine above threshold). Returns (a, b, cos) with a<b.
     */
