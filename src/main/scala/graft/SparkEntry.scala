@@ -276,12 +276,14 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
         |    i -> array_to_string(words[i:i+2], ' '))) AS s
         |  FROM w WHERE len(words) >= 3),
-        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |inv0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |freq AS (SELECT g, count(*) AS df FROM inv0 GROUP BY g),
+        |inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN freq USING (g) WHERE df <= 1000),
         |inter AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
         |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(s) AS nsh FROM sh)
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM inv GROUP BY doc_id)
         |SELECT a, b,
         |  round(inter * 1.0 / (sa.nsh + sb.nsh - inter), 6) AS jaccard
         |FROM inter

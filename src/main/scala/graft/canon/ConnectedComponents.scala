@@ -69,6 +69,15 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    // exhausting the round budget while labels were still moving would mean
+    // silently-wrong component ids for any component with diameter >
+    // maxIterations — fail loudly instead (callers pick the budget; a
+    // large-star/small-star contraction variant is the O(log n)-rounds
+    // upgrade if real graphs ever trip this)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxIterations rounds " +
+          s"($changed labels still changing); raise maxIterations")
     labels
   }
 }

@@ -53,6 +53,66 @@ object Linker {
       .toDF("url", "surface", "begin", "end", "qid", "context")
   }
 
+  /** Mention detection with a broadcast-size guard (SURVEY.md §7.4): the
+    * surface dictionary `dict(surface, ids)` stays distributed; one tiny agg
+    * measures it, and only if it fits `broadcastBudgetChars` is it collected
+    * into a single trie. Past the budget the dictionary hash-shards by
+    * surface into ceil(total/budget) tries and the texts get one matching
+    * pass per shard; raw (unresolved) matches union and the single-trie
+    * leftmost-longest policy replays per document — output is identical to
+    * the one-trie path (spec-pinned). The driver's collect+build peak is
+    * bounded by the budget (one shard in hand at a time); executors hold the
+    * shard tries as ordinary broadcasts (MEMORY_AND_DISK, evictable). Extra
+    * cost: one narrow text scan per shard plus one shuffle of the (small)
+    * raw-match rows.
+    */
+  def mentionsSharded(spark: SparkSession, texts: DataFrame, dict: DataFrame,
+                      broadcastBudgetChars: Long = 64L * 1000 * 1000,
+                      maxCandidates: Int = 50): DataFrame = {
+    import spark.implicits._
+    val stats = dict.agg(coalesce(sum(length(col("surface"))), lit(0L)).cast("long")).collect()(0)
+    val totalChars = stats.getLong(0)
+    val nShards = math.max(1L, (totalChars + broadcastBudgetChars - 1) / broadcastBudgetChars).toInt
+    if (nShards == 1) {
+      val entries = dict.as[(String, Seq[String])].collect()
+      val trie = spark.sparkContext.broadcast(AhoCorasick.build(entries.map(d => d._1 -> d._2)))
+      return mentions(spark, texts, trie, maxCandidates)
+    }
+
+    val textsP = texts.select("url", "id", "text").persist()
+    val raw = (0 until nShards).map { s =>
+      val shard = dict
+        .filter(pmod(xxhash64(col("surface")), lit(nShards)) === s)
+        .as[(String, Seq[String])].collect()
+      val trie = spark.sparkContext.broadcast(AhoCorasick.build(shard.map(d => d._1 -> d._2)))
+      textsP.as[(String, String, String)].flatMap { case (url, selfId, text) =>
+        trie.value.findRawMentions(text).map { m =>
+          val ctx = text.substring(
+            math.max(0, m.begin - contextChars),
+            math.min(text.length, m.end + contextChars))
+          (url, selfId, m.surface, m.begin, m.end, m.qids, ctx)
+        }
+      }
+    }.reduce(_ unionByName _)
+
+    val resolved = raw
+      .groupByKey(_._1)
+      .flatMapGroups { (url: String, it: Iterator[(String, String, String, Int, Int, Seq[String], String)]) =>
+        val hits = it.toVector
+        val selfId = hits.head._2
+        val bySpan = hits.map(h => (h._4, h._5) -> h).toMap
+        AhoCorasick.resolveLeftmostLongest(
+          hits.map(h => graft.mention.Mention(h._3, h._6, h._4, h._5)))
+          .iterator.flatMap { m =>
+            val (_, _, surface, begin, end, qids, ctx) = bySpan((m.begin, m.end))
+            qids.filter(_ != selfId).sorted.take(maxCandidates)
+              .map(q => (url, surface, begin, end, q, ctx))
+          }
+      }
+      .toDF("url", "surface", "begin", "end", "qid", "context")
+    resolved
+  }
+
   /** Score candidates and keep top-K per mention.
     * Output: (url, begin, end, surface, qid, score, rank).
     */

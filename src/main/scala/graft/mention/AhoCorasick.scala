@@ -76,24 +76,38 @@ final class AhoCorasick private (
     hits
   }
 
+  /** All boundary-filtered matches, overlap-UNresolved — the per-shard
+    * primitive when the dictionary is hash-sharded across multiple passes:
+    * each shard emits raw matches and [[AhoCorasick.resolveLeftmostLongest]]
+    * replays the exact single-trie overlap policy over their union.
+    */
+  def findRawMentions(text: String): Seq[Mention] =
+    rawMatches(text).map { case (b, e, p) =>
+      Mention(patterns(p), payloads(p).toSeq, b, e)
+    }.toSeq
+
   /** Leftmost-longest non-overlapping mentions. */
-  def findMentions(text: String): Seq[Mention] = {
-    val hits = rawMatches(text)
-    if (hits.isEmpty) return Seq.empty
-    val sorted = hits.sortBy { case (b, e, _) => (b, -(e - b)) }
-    val res = mutable.ArrayBuffer.empty[Mention]
-    var lastEnd = 0
-    sorted.foreach { case (b, e, p) =>
-      if (b >= lastEnd) {
-        res += Mention(patterns(p), payloads(p).toSeq, b, e)
-        lastEnd = e
-      }
-    }
-    res.toSeq
-  }
+  def findMentions(text: String): Seq[Mention] =
+    AhoCorasick.resolveLeftmostLongest(findRawMentions(text))
 }
 
 object AhoCorasick {
+
+  /** Greedy leftmost-longest non-overlapping selection over raw matches.
+    * Deterministic: distinct patterns can never share an identical (begin,
+    * end) span (same span ⇒ same substring ⇒ same pattern), so the sort key
+    * (begin, -length) is a total order over distinct spans.
+    */
+  def resolveLeftmostLongest(hits: Seq[Mention]): Seq[Mention] = {
+    if (hits.isEmpty) return Seq.empty
+    val sorted = hits.sortBy(m => (m.begin, -(m.end - m.begin)))
+    val res = mutable.ArrayBuffer.empty[Mention]
+    var lastEnd = 0
+    sorted.foreach { m =>
+      if (m.begin >= lastEnd) { res += m; lastEnd = m.end }
+    }
+    res.toSeq
+  }
 
   /** Build from (surface → candidate QIDs). Empty surfaces are ignored. */
   def build(dictionary: Iterable[(String, Seq[String])]): AhoCorasick = {

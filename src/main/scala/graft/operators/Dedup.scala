@@ -160,11 +160,24 @@ object Dedup {
     * |A∪B| = |A|+|B|−|A∩B| from per-doc sizes. No arrays cross the shuffle,
     * so this is the 100 TB-exact-dedup shape (pair space bounded by shared
     * shingles, not n²). DuckDB-oracle-backed.
+    *
+    * `maxDf` caps shingle document frequency before the self-join: a single
+    * boilerplate shingle shared by k docs otherwise yields k² pair rows — the
+    * one quadratic blow-up in this plan at web scale. Shingles above the cap
+    * are dropped from the shingle universe entirely (postings AND per-doc
+    * sizes — standard near-dup practice), and the oracle SQL applies the
+    * identical cap, so semantics match by definition. The window count rides
+    * the same hash-partitioning by `g` the self-join needs anyway.
     */
-  def ngramJaccardExact(spark: SparkSession, dir: String, threshold: Double = 0.03): DataFrame = {
+  def ngramJaccardExact(spark: SparkSession, dir: String, threshold: Double = 0.03,
+                        maxDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = withShingles(spark, dir)
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("nsh"))
-    val inv = d.select(col("doc_id"), explode(col("sh")).as("g"))
+    val invAll = d.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inv = invAll
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("_df") <= maxDf).drop("_df")
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = inv.as("x").join(inv.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

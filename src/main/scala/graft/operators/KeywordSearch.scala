@@ -33,10 +33,13 @@ object KeywordSearch {
     val postings = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val withLen = postings.join(docLen, Seq("doc_id"))
-    val n = docs.count()
+    // one driver action for both corpus constants (N and avgdl)
+    val consts = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(docLen.agg(avg("dl").as("avgdl"))).collect()(0)
+    val n = consts.getLong(0)
+    val avgdl = consts.getDouble(1)
     val stats = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-    val avgdl = docLen.agg(avg("dl")).collect()(0).getDouble(0)
     (withLen, stats, avgdl)
   }
 

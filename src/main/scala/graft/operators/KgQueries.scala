@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.link.{Embedder, Linker}
-import graft.mention.AhoCorasick
 import graft.model.WikidataJson
 import graft.pipeline.{PagesGen, TextifyStage}
 import graft.triples.Triples
@@ -37,26 +36,34 @@ object KgQueries {
   def extractText(spark: SparkSession, dir: String): DataFrame =
     TextifyStage.render(spark, payloads(spark), labels(spark))
 
-  /** Mention detection over the extracted text. */
-  def mentions(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val texts = extractText(spark, dir)
-    val dict = labels(spark).filter(!col("is_property"))
+  /** (surface → candidate ids) dictionary — stays a DataFrame; the sharded
+    * mention path decides whether it fits one broadcast trie.
+    */
+  private def dictOf(labelsDf: DataFrame): DataFrame =
+    labelsDf.filter(!col("is_property"))
       .select(col("id"), explode(array_union(array(col("label")), col("aliases"))).as("surface"))
       .filter(length(col("surface")) > 0)
       .groupBy("surface").agg(collect_list("id").as("ids"))
-      .as[(String, Seq[String])].collect()
-    val trie = spark.sparkContext.broadcast(AhoCorasick.build(dict.map(d => d._1 -> d._2)))
-    Linker.mentions(spark, texts, trie)
-  }
 
-  /** Entity-link scoring: top-K per mention. */
+  /** Mention detection over already-extracted texts. */
+  private def mentionsOf(spark: SparkSession, texts: DataFrame, labelsDf: DataFrame): DataFrame =
+    Linker.mentionsSharded(spark, texts, dictOf(labelsDf))
+
+  /** Mention detection over the extracted text. */
+  def mentions(spark: SparkSession, dir: String): DataFrame =
+    mentionsOf(spark, extractText(spark, dir), labels(spark))
+
+  /** Entity-link scoring: top-K per mention. The texts dataset is computed
+    * once and persisted — mention detection AND entity-vector embedding both
+    * read it, so extract/textify no longer runs twice per links query.
+    */
   def links(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val texts = extractText(spark, dir)
+    val labelsDf = labels(spark)
+    val texts = TextifyStage.render(spark, payloads(spark), labelsDf).persist()
     val entityVecs = Embedder.embedDataset(
       texts.select("id", "text").as[(String, String)]).toDF("id", "vec")
-    Linker.link(spark, mentions(spark, dir), entityVecs, k = 5)
+    Linker.link(spark, mentionsOf(spark, texts, labelsDf), entityVecs, k = 5)
       .withColumn("score", round(col("score"), 6))
   }
 
@@ -91,22 +98,11 @@ object KgQueries {
   }
 
   /** Chunk explode (P9/T6): entity text → token-budget chunks with
-    * deterministic ids `qid_lang_chunkIdx` (ref: docker/3:74-88).
+    * deterministic ids `qid_lang_chunkIdx` (ref: docker/3:74-88). Label
+    * resolution via the gather-join — no driver collect of the dictionary.
     */
-  def chunks(spark: SparkSession, dir: String, maxTokens: Int = 60): DataFrame = {
-    import spark.implicits._
-    val labelMap = labels(spark).select("id", "label")
-      .as[(String, String)].collect().toMap
-    val bc = spark.sparkContext.broadcast(labelMap)
-    payloads(spark).flatMap { pp =>
-      WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
-        val e = WikidataJson.normalize(item, "en")
-        val textifier = new graft.textify.Textifier(
-          graft.textify.LangVariant("en"), bc.value.get)
-        val tok = new graft.textify.SimpleTokenizer(8)
-        graft.textify.Chunker.chunkText(textifier, e, tok, maxTokens)
-          .zipWithIndex.map { case (c, i) => (s"${e.id}_en_${i + 1}", e.id, i + 1, c) }
-      }
-    }.toDF("chunk_id", "qid", "chunk", "text")
-  }
+  def chunks(spark: SparkSession, dir: String, maxTokens: Int = 60): DataFrame =
+    TextifyStage.renderChunks(spark, payloads(spark), labels(spark),
+        maxTokens, langOverride = Some("en"))
+      .select(col("doc_id").as("chunk_id"), col("qid"), col("chunk"), col("text"))
 }

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import graft.canon.ConnectedComponents
 import graft.link.{Embedder, Linker}
-import graft.mention.AhoCorasick
 import graft.model.WikidataJson
 import graft.tables.{Lineage, MergeTable}
 import graft.triples.Triples
@@ -116,16 +115,17 @@ final class KgPipeline(spark: SparkSession, root: String,
     }
     checkFail("textify")
 
-    // stage: mentions — Aho-Corasick over broadcast label+alias trie
+    // stage: mentions — Aho-Corasick over the label+alias trie, built via the
+    // size-guarded sharded path (single broadcast while the dictionary fits,
+    // hash-sharded multi-pass beyond the budget — never an unguarded
+    // full-dimension collect)
     val mentionsSnap = lineage.runStage("mentions", textsSnap) {
       val t0 = System.nanoTime()
       val dict = labelsTbl.read().filter(!col("is_property"))
         .select(col("id"), explode(array_union(array(col("label")), col("aliases"))).as("surface"))
         .filter(length(col("surface")) > 0)
         .groupBy("surface").agg(collect_list("id").as("ids"))
-        .as[(String, Seq[String])].collect()
-      val trie = spark.sparkContext.broadcast(AhoCorasick.build(dict.map(d => d._1 -> d._2)))
-      val df = Linker.mentions(spark, textsTbl.read(), trie)
+      val df = Linker.mentionsSharded(spark, textsTbl.read(), dict)
       val snap = mentionsTbl.merge(df)
       lineage.capture("mentions", textsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
@@ -148,23 +148,12 @@ final class KgPipeline(spark: SparkSession, root: String,
     // stage: docs — token-budget chunking + batched embedding into the
     // vector-document table, deterministic _id = qid_lang_chunkIdx (the
     // reference's stage 3: docker/3_Add_Wikidata_to_AstraDB/run.py:65-93,
-    // chunk T6, sink S8 — upsert by _id replaces the infinite-retry push)
+    // chunk T6, sink S8 — upsert by _id replaces the infinite-retry push).
+    // Label resolution is the gather-join (renderChunks), not a driver
+    // collect of the label dimension.
     lineage.runStage("docs", textsSnap) {
       val t0 = System.nanoTime()
-      val labelMapB = spark.sparkContext.broadcast(
-        labelsTbl.read().select("id", "label").as[(String, String)].collect().toMap)
-      val chunks = payloads.flatMap { pp =>
-        WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
-          val e = WikidataJson.normalize(item, "en")
-          val textifier = new graft.textify.Textifier(
-            graft.textify.LangVariant(pp.lang), labelMapB.value.get)
-          val tok = new graft.textify.SimpleTokenizer(8)
-          graft.textify.Chunker.chunkText(textifier, e, tok, maxLength = 120)
-            .zipWithIndex.map { case (c, i) =>
-              (s"${e.id}_${pp.lang}_${i + 1}", e.id, pp.lang, i + 1, c)
-            }
-        }
-      }.toDF("doc_id", "qid", "lang", "chunk", "text")
+      val chunks = TextifyStage.renderChunks(spark, payloads, labelsTbl.read(), maxTokens = 120)
       val df = Embedder.embedDataset(
         chunks.select("doc_id", "text").as[(String, String)]).toDF("doc_id", "vec")
         .join(chunks, Seq("doc_id"))

@@ -77,11 +77,11 @@ object TextifyStage {
     }.toDF("id", "label", "is_property")
   }
 
-  /** Render extracted text per page — byte-identical to the reference's
-    * serialization for that page's entity and language variant.
-    * Output: (url, id, lang, text).
+  /** Gather-join steps 1–3: each page paired with its private
+    * (id → label) dictionary. Shared by [[render]] and [[renderChunks]].
     */
-  def render(spark: SparkSession, payloads: Dataset[PagePayload], labels: DataFrame): DataFrame = {
+  private def withLabelMaps(spark: SparkSession, payloads: Dataset[PagePayload],
+                            labels: DataFrame): Dataset[(PagePayload, Map[String, String])] = {
     import spark.implicits._
 
     val refs = payloads.flatMap { pp =>
@@ -100,12 +100,48 @@ object TextifyStage {
     payloads
       .joinWith(labelMaps, payloads("url") === labelMaps("url"), "left")
       .map { case (pp, resolved) =>
-        val labelMap = Option(resolved).map(_._2).getOrElse(Map.empty[String, String])
-        val item = WikidataJson.parseLine(pp.payload).get
+        (pp, Option(resolved).map(_._2).getOrElse(Map.empty[String, String]))
+      }
+  }
+
+  /** Render extracted text per page — byte-identical to the reference's
+    * serialization for that page's entity and language variant.
+    * Output: (url, id, lang, text). Unparseable payloads are dropped (the
+    * same None-semantics as every other stage's flatMap — one dirty page
+    * must not abort a corpus-scale run).
+    */
+  def render(spark: SparkSession, payloads: Dataset[PagePayload], labels: DataFrame): DataFrame = {
+    import spark.implicits._
+    withLabelMaps(spark, payloads, labels).flatMap { case (pp, labelMap) =>
+      WikidataJson.parseLine(pp.payload).map { item =>
         val entity = WikidataJson.normalize(item, "en")
         val textifier = new Textifier(LangVariant(pp.lang), labelMap.get)
         (pp.url, entity.id, pp.lang, textifier.entityToText(entity))
       }
-      .toDF("url", "id", "lang", "text")
+    }.toDF("url", "id", "lang", "text")
+  }
+
+  /** Token-budget chunk explode per page (P9/T6 — the reference's stage 3
+    * chunker, docker/3_Add_Wikidata_to_AstraDB/run.py:74-88) with the SAME
+    * gather-join label resolution as [[render]]: no broadcast or driver
+    * collect of the label dimension, so the docs stage survives a 9.2M-entity
+    * (or 100×) dictionary. Output: (doc_id, qid, lang, chunk, text) with
+    * deterministic doc_id = qid_lang_chunkIdx.
+    */
+  def renderChunks(spark: SparkSession, payloads: Dataset[PagePayload], labels: DataFrame,
+                   maxTokens: Int, langOverride: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    withLabelMaps(spark, payloads, labels).flatMap { case (pp, labelMap) =>
+      WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
+        val e = WikidataJson.normalize(item, "en")
+        val lang = langOverride.getOrElse(pp.lang)
+        val textifier = new Textifier(LangVariant(lang), labelMap.get)
+        val tok = new graft.textify.SimpleTokenizer(8)
+        graft.textify.Chunker.chunkText(textifier, e, tok, maxTokens)
+          .zipWithIndex.map { case (c, i) =>
+            (s"${e.id}_${lang}_${i + 1}", e.id, lang, i + 1, c)
+          }
+      }
+    }.toDF("doc_id", "qid", "lang", "chunk", "text")
   }
 }

@@ -40,11 +40,17 @@ final class MergeTable(spark: SparkSession, val path: String,
 
   def exists: Boolean = currentSnapshot.isDefined
 
-  private def readManifest(v: Long): (Long, Map[Int, Long], Long) = {
+  /** (parent, bucket → owning snapshot, rowCount, bucket → row count).
+    * `bucketRows` lets merge carry untouched buckets' counts forward without
+    * re-reading their files (absent only in pre-upgrade manifests).
+    */
+  private def readManifest(v: Long): (Long, Map[Int, Long], Long, Map[Int, Long]) = {
     val node = mapper.readTree(Files.readString(manifestFile(v)))
     val buckets = node.get("buckets").properties().asScala
       .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
-    (node.get("parent").asLong(), buckets, node.get("rowCount").asLong())
+    val bucketRows = Option(node.get("bucketRows")).map(_.properties().asScala
+      .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
+    (node.get("parent").asLong(), buckets, node.get("rowCount").asLong(), bucketRows)
   }
 
   def rowCount: Long = currentSnapshot.map(readManifest(_)._3).getOrElse(0L)
@@ -65,7 +71,7 @@ final class MergeTable(spark: SparkSession, val path: String,
     * readable (Iceberg snapshot-read semantics).
     */
   def readSnapshot(v: Long): DataFrame = {
-    val (_, buckets, _) = readManifest(v)
+    val (_, buckets, _, _) = readManifest(v)
     val dirs = buckets.toSeq.map { case (b, snap) => bucketDir(snap, b) }
       .filter(d => Files.exists(Paths.get(d)))
     if (dirs.isEmpty) spark.emptyDataFrame
@@ -76,9 +82,13 @@ final class MergeTable(spark: SparkSession, val path: String,
   def snapshots: Seq[Long] = {
     val dir = Paths.get(path, "_manifests")
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).toArray.map(_.toString)
-      .flatMap(s => "v(\\d+)\\.json$".r.findFirstMatchIn(s).map(_.group(1).toLong))
-      .sorted.toSeq
+    else {
+      val stream = Files.list(dir)
+      try stream.toArray.map(_.toString)
+        .flatMap(s => "v(\\d+)\\.json$".r.findFirstMatchIn(s).map(_.group(1).toLong))
+        .sorted.toSeq
+      finally stream.close()
+    }
   }
 
   def readOrEmpty(schemaOf: DataFrame): DataFrame =
@@ -92,45 +102,57 @@ final class MergeTable(spark: SparkSession, val path: String,
     val newSnap = currentSnapshot.getOrElse(0L) + 1
     val incoming = df.dropDuplicates(keyCols).withColumn("_bucket", bucketExpr)
 
-    val (oldBuckets: Map[Int, Long], parent: Long) = currentSnapshot match {
-      case Some(v) => (readManifest(v)._2, v)
-      case None    => (Map.empty[Int, Long], 0L)
-    }
+    val (oldBuckets: Map[Int, Long], parent: Long, oldBucketRows: Map[Int, Long]) =
+      currentSnapshot match {
+        case Some(v) =>
+          val m = readManifest(v)
+          (m._2, v, m._4)
+        case None => (Map.empty[Int, Long], 0L, Map.empty[Int, Long])
+      }
 
     // buckets touched by this batch
     val touched = incoming.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
     val touchedWithData = touched.filter(oldBuckets.contains)
 
-    val merged =
+    val merged = (
       if (touchedWithData.isEmpty) incoming
       else {
         val oldDirs = touchedWithData.toSeq.map(b => bucketDir(oldBuckets(b), b))
         val old = spark.read.parquet(oldDirs: _*).withColumn("_bucket", bucketExpr)
         val survivors = old.join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
         survivors.unionByName(incoming)
-      }
+      }).persist()
 
     Files.createDirectories(Paths.get(path, "_manifests"))
     merged.write.mode("overwrite").partitionBy("_bucket")
       .parquet(s"$path/data/snap-$newSnap")
 
-    // new manifest: touched buckets point at newSnap, others carry over
+    // per-bucket counts of what we just wrote (tiny: ≤ numBuckets rows, read
+    // from the persisted frame — the anti-join never re-executes)
+    val newBucketRows: Map[Int, Long] = merged.groupBy("_bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    merged.unpersist()
+
+    // new manifest: touched buckets point at newSnap, others carry over —
+    // including their row counts, so merge I/O stays O(touched data): no
+    // untouched bucket is ever re-read just to recount it. (Pre-upgrade
+    // manifests without bucketRows pay one legacy recount, then carry.)
     val newBuckets = oldBuckets ++ touched.map(_ -> newSnap).toMap
-    val rowCount = {
-      val keptOld = currentSnapshot match {
-        case Some(_) if (oldBuckets.keySet -- touched).nonEmpty =>
-          val dirs = (oldBuckets.keySet -- touched).toSeq.map(b => bucketDir(oldBuckets(b), b))
-            .filter(d => Files.exists(Paths.get(d)))
-          if (dirs.isEmpty) 0L else spark.read.parquet(dirs: _*).count()
-        case _ => 0L
-      }
-      keptOld + merged.count()
-    }
-    val bucketsJson = newBuckets.toSeq.sortBy(_._1)
+    val untouched = oldBuckets.keySet -- touched
+    val untouchedRows: Map[Int, Long] =
+      if (untouched.forall(oldBucketRows.contains)) untouched.map(b => b -> oldBucketRows(b)).toMap
+      else untouched.toSeq.map { b =>
+        val d = bucketDir(oldBuckets(b), b)
+        b -> (if (Files.exists(Paths.get(d))) spark.read.parquet(d).count() else 0L)
+      }.toMap
+    val allBucketRows = untouchedRows ++ newBucketRows
+    val rowCount = allBucketRows.values.sum
+    def intMapJson(m: Map[Int, Long]): String = m.toSeq.sortBy(_._1)
       .map { case (b, s) => s""""$b": $s""" }.mkString("{", ", ", "}")
     val json =
       s"""{"snapshotId": $newSnap, "parent": $parent, "rowCount": $rowCount,
-         | "createdMs": ${System.currentTimeMillis()}, "buckets": $bucketsJson}""".stripMargin
+         | "createdMs": ${System.currentTimeMillis()}, "buckets": ${intMapJson(newBuckets)},
+         | "bucketRows": ${intMapJson(allBucketRows)}}""".stripMargin
     Files.writeString(manifestFile(newSnap), json)
 
     // atomic-ish current pointer flip

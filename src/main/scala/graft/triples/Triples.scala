@@ -120,7 +120,10 @@ object Triples {
     val subjLabels = labels.select(col("id").as("_sid"), col("label").as("_slabel"))
     val valueLabels = labels.select(col("id").as("_vid"), col("label").as("_vlabel"))
 
-    val stripExpr = regexp_replace(regexp_replace(col("_vlabel"), "^b'", ""), "'$", "")
+    // \z (absolute end), not $: Java-regex $ also matches before a trailing
+    // line terminator, which would diverge from the pure path's endsWith("'")
+    // on labels ending "'\n"
+    val stripExpr = regexp_replace(regexp_replace(col("_vlabel"), "^b'", ""), "'\\z", "")
 
     rows
       .join(broadcast(propLabels), col("pid") === col("_pid"), "inner")

@@ -1,0 +1,46 @@
+package graft.link
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The §7.4 broadcast-budget contract: when the surface dictionary outgrows
+  * the budget, mention detection hash-shards it into multiple tries and
+  * multiple passes — and the output must be IDENTICAL to the single-trie
+  * path, including leftmost-longest overlap resolution across patterns that
+  * land in different shards.
+  */
+class LinkerShardSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val texts = Seq(
+    ("u1", "Q1", "Paris is the capital of France and Paris Saint Germain plays there"),
+    ("u2", "Q2", "New York City and York share a name; New York is bigger"),
+    ("u3", "Q3", "nothing matches in this one"),
+    ("u4", "Q60", "New York mentions itself") // self-candidate must drop post-resolution
+  ).toDF("url", "id", "text")
+
+  private val dict = Seq(
+    ("Paris", Seq("Q90")), ("Paris Saint Germain", Seq("Q483020")),
+    ("France", Seq("Q142")), ("New York", Seq("Q60", "Q1384")),
+    ("New York City", Seq("Q60")), ("York", Seq("Q42462"))
+  ).toDF("surface", "ids")
+
+  test("sharded multi-pass mentions == single-trie mentions") {
+    val single = Linker.mentionsSharded(spark, texts, dict,
+      broadcastBudgetChars = 1L << 30).collect().map(_.toString).sorted.toSeq
+    // total surface chars ≈ 60 → budget 12 forces ~5 shards
+    val sharded = Linker.mentionsSharded(spark, texts, dict,
+      broadcastBudgetChars = 12).collect().map(_.toString).sorted.toSeq
+    assert(single.nonEmpty)
+    assert(sharded == single)
+    // longest-match-wins must hold across shard boundaries: the second
+    // "Paris" occurrence resolves to the longer "Paris Saint Germain", and
+    // u2's opening "New York City" beats both "New York" and "York"
+    assert(single.exists(_.contains("Paris Saint Germain")))
+    assert(single.exists(s => s.contains("u2") && s.contains("New York City")))
+    assert(!single.exists(s => s.contains("u2") && s.contains(",4,")), // "York" at offset 4 inside NYC span
+      s"standalone York matched inside New York City: ${single.mkString("; ")}")
+  }
+}

@@ -42,6 +42,34 @@ class MergeTableSpec extends AnyFunSuite {
     assert(got("k1") == -1 && got.size == 200 && got("k200") == 200)
   }
 
+  test("merge reads ONLY touched buckets: untouched bucket files are never opened") {
+    val path = tmp()
+    val t = new MergeTable(spark, path, Seq("id"), numBuckets = 16)
+    t.merge((1 to 100).map(i => (s"k$i", i)).toDF("id", "v"))
+    assert(t.rowCount == 100)
+    // hide every snap-1 bucket EXCEPT the one "k1" hashes to; if merge (or its
+    // manifest row-count bookkeeping) read any untouched bucket it would fail
+    // on the missing files.
+    val k1Bucket = t.read().sparkSession.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.lit("k1")),
+        org.apache.spark.sql.functions.lit(16)).cast("int")).collect()(0).getInt(0)
+    val snap1 = Paths.get(path, "data", "snap-1")
+    val hidden = Files.list(snap1).toArray.map(_.toString)
+      .filter(d => d.contains("_bucket=") && !d.endsWith(s"_bucket=$k1Bucket"))
+      .map { d =>
+        val target = Paths.get(d + ".hidden")
+        Files.move(Paths.get(d), target); (target, Paths.get(d))
+      }
+    assert(hidden.nonEmpty)
+    try {
+      t.merge(Seq(("k1", -1)).toDF("id", "v")) // must touch only k1's bucket
+      assert(t.rowCount == 100) // counts carried from the manifest, not rescanned
+    } finally hidden.foreach { case (from, to) => Files.move(from, to) }
+    val got = t.read().as[(String, Int)].collect().toMap
+    assert(got("k1") == -1 && got.size == 100)
+  }
+
   test("re-merging the same batch is idempotent (exactly-once semantics)") {
     val t = new MergeTable(spark, tmp(), Seq("id"), numBuckets = 8)
     val batch = Seq(("x", 1), ("y", 2)).toDF("id", "v")
