@@ -95,6 +95,10 @@ object SparkEntry {
     "kg5_canon" -> (KgQueries.canon _),
     "kg6_chunks" -> ((s, d) => KgQueries.chunks(s, d)),
     "kg7_triples_for_url" -> ((s, d) => KgQueries.triplesForUrl(s, d)),
+    // P6: qualifier + reference sub-triples (notebook get_triplets semantics)
+    "kg8_triplets" -> (KgQueries.triplets _),
+    // A1: per-PID / per-class / per-site corpus stats
+    "kg9_stats" -> (KgQueries.stats _),
   )
 
   /** Exact DuckDB replica of the engine's cosine arithmetic: FLOAT*FLOAT

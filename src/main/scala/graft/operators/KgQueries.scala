@@ -22,15 +22,12 @@ object KgQueries {
   private def payloads(spark: SparkSession) =
     TextifyStage.payloads(spark, PagesGen.pages(spark, nPages))
 
-  private def labels(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    payloads(spark).flatMap { pp =>
-      WikidataJson.parseLine(pp.payload).map { item =>
-        val e = WikidataJson.normalize(item, "en")
-        (e.id, e.label, item.path("type").asText("") == "property", e.aliases)
-      }
-    }.toDF("id", "label", "is_property", "aliases")
-  }
+  /** Per-language label dimension (id, lang, label, is_property, aliases). */
+  private def labels(spark: SparkSession): DataFrame =
+    TextifyStage.harvestLabels(spark, payloads(spark))
+
+  private def labelsEn(spark: SparkSession): DataFrame =
+    labels(spark).filter(col("lang") === "en")
 
   /** Extract + textify: byte-identical text per url. */
   def extractText(spark: SparkSession, dir: String): DataFrame =
@@ -40,7 +37,7 @@ object KgQueries {
     * mention path decides whether it fits one broadcast trie.
     */
   private def dictOf(labelsDf: DataFrame): DataFrame =
-    labelsDf.filter(!col("is_property"))
+    labelsDf.filter(!col("is_property") && col("lang") === "en")
       .select(col("id"), explode(array_union(array(col("label")), col("aliases"))).as("surface"))
       .filter(length(col("surface")) > 0)
       .groupBy("surface").agg(collect_list("id").as("ids"))
@@ -70,7 +67,7 @@ object KgQueries {
   /** Triple extraction over the corpus payloads. */
   def triples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Triples.fromLines(spark, payloads(spark).map(_.payload), labels(spark).select("id", "label"))
+    Triples.fromLines(spark, payloads(spark).map(_.payload), labelsEn(spark).select("id", "label"))
   }
 
   /** Canonicalization mapping (connected components over sameAs). */
@@ -80,7 +77,7 @@ object KgQueries {
       .flatMap(pp => WikidataJson.parseLine(pp.payload).toSeq.flatMap(WikidataJson.toClaimRows(_, "en")))
       .filter(r => r.pid == PagesGen.sameAsPid && r.isQidValue)
       .map(r => (r.qid, r.valueScalar)).toDF("src", "dst")
-    val nodes = labels(spark).select("id")
+    val nodes = labelsEn(spark).select("id")
     graft.canon.ConnectedComponents.run(spark, sameAs, nodes)
       .filter(col("id") =!= col("component")) // only non-trivial mappings
   }
@@ -95,6 +92,39 @@ object KgQueries {
     val qid = url.substring(url.lastIndexOf('/') + 1)
     triples(spark, dir).filter(col("qid") === qid)
       .withColumn("url", lit(url))
+  }
+
+  /** Qualifier + reference sub-triples (P6, notebook get_triplets semantics):
+    * one row per main/qualifier/reference part, golden-pinned by
+    * TripletsGoldenSpec against executing the reference notebook's own code.
+    */
+  def triplets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.triples.Triplets.rows(spark, payloads(spark).map(_.payload))
+  }
+
+  /** KG corpus stats (A1, ref notebooks/Get_Wikidata_Stats.py:100-371):
+    * per-PID claim counts, per-P31-class instance counts, per-site sitelink
+    * counts — explode + groupBy/count, partial aggregation for free.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val claimRows = payloads(spark)
+      .flatMap(pp => WikidataJson.parseLine(pp.payload).toSeq.flatMap(WikidataJson.toClaimRows(_, "en")))
+    val perPid = claimRows.groupBy(col("pid").as("key"))
+      .agg(count(lit(1)).as("n")).withColumn("stat", lit("claims_per_pid"))
+    val perClass = claimRows.filter(col("pid") === "P31" && col("isQidValue"))
+      .groupBy(col("valueScalar").as("key"))
+      .agg(count(lit(1)).as("n")).withColumn("stat", lit("instances_per_class"))
+    val perSite = payloads(spark).flatMap { pp =>
+      WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
+        val sl = item.path("sitelinks")
+        if (!sl.isObject) Seq.empty[String]
+        else { import scala.jdk.CollectionConverters._; sl.properties().asScala.map(_.getKey).toSeq }
+      }
+    }.toDF("key").groupBy("key")
+      .agg(count(lit(1)).as("n")).withColumn("stat", lit("sitelinks_per_site"))
+    perPid.unionByName(perClass).unionByName(perSite).select("stat", "key", "n")
   }
 
   /** Chunk explode (P9/T6): entity text → token-budget chunks with

@@ -28,7 +28,7 @@ final class KgPipeline(spark: SparkSession, root: String,
   import spark.implicits._
 
   val pagesTbl = new MergeTable(spark, s"$root/pages", Seq("url"))
-  val labelsTbl = new MergeTable(spark, s"$root/labels", Seq("id"))
+  val labelsTbl = new MergeTable(spark, s"$root/labels", Seq("id", "lang"))
   val idFlagsTbl = new MergeTable(spark, s"$root/id_flags", Seq("id"))
   val textsTbl = new MergeTable(spark, s"$root/texts", Seq("url"))
   val mentionsTbl = new MergeTable(spark, s"$root/mentions", Seq("url", "begin", "qid"))
@@ -76,15 +76,12 @@ final class KgPipeline(spark: SparkSession, root: String,
 
     lazy val payloads = TextifyStage.payloads(spark, pagesTbl.read()).persist()
 
-    // stage: harvest — label dimension + id flags from the corpus itself
+    // stage: harvest — per-language label dimension (id, lang, label,
+    // is_property, aliases) from the corpus itself: the reference normalizes
+    // the whole DB once per LANGUAGE (src/wikidataDB.py:126-148)
     val labelsSnap = lineage.runStage("harvest", pagesSnap) {
       val t0 = System.nanoTime()
-      val df = payloads.flatMap { pp =>
-        WikidataJson.parseLine(pp.payload).map { item =>
-          val e = WikidataJson.normalize(item, "en")
-          (e.id, e.label, item.path("type").asText("") == "property", e.aliases)
-        }
-      }.toDF("id", "label", "is_property", "aliases")
+      val df = TextifyStage.harvestLabels(spark, payloads)
       val snap = labelsTbl.merge(df)
       lineage.capture("harvest", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
@@ -105,10 +102,21 @@ final class KgPipeline(spark: SparkSession, root: String,
     }
     checkFail("harvest_ids")
 
-    // stage: textify — byte-identical extracted text per url
+    // the J4 driving gate: only in_wikipedia entities are textified/chunked,
+    // exactly the reference's stage-3 driving scan
+    // (docker/3_Add_Wikidata_to_AstraDB/run.py:61). url=…/wiki/{id} is the
+    // pages contract, so the gate is an equi-semi-join on the trailing id.
+    lazy val gatedPayloads = {
+      val inWiki = idFlagsTbl.read().filter(col("in_wikipedia")).select(col("id").as("_gid"))
+      payloads
+        .joinWith(inWiki, substring_index(payloads("url"), "/", -1) === col("_gid"), "inner")
+        .map(_._1)
+    }
+
+    // stage: textify — byte-identical extracted text per url (gated)
     val textsSnap = lineage.runStage("textify", labelsSnap) {
       val t0 = System.nanoTime()
-      val df = TextifyStage.render(spark, payloads, labelsTbl.read())
+      val df = TextifyStage.render(spark, gatedPayloads, labelsTbl.read())
       val snap = textsTbl.merge(df)
       lineage.capture("textify", labelsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
@@ -121,7 +129,7 @@ final class KgPipeline(spark: SparkSession, root: String,
     // full-dimension collect)
     val mentionsSnap = lineage.runStage("mentions", textsSnap) {
       val t0 = System.nanoTime()
-      val dict = labelsTbl.read().filter(!col("is_property"))
+      val dict = labelsTbl.read().filter(!col("is_property") && col("lang") === "en")
         .select(col("id"), explode(array_union(array(col("label")), col("aliases"))).as("surface"))
         .filter(length(col("surface")) > 0)
         .groupBy("surface").agg(collect_list("id").as("ids"))
@@ -153,7 +161,7 @@ final class KgPipeline(spark: SparkSession, root: String,
     // collect of the label dimension.
     lineage.runStage("docs", textsSnap) {
       val t0 = System.nanoTime()
-      val chunks = TextifyStage.renderChunks(spark, payloads, labelsTbl.read(), maxTokens = 120)
+      val chunks = TextifyStage.renderChunks(spark, gatedPayloads, labelsTbl.read(), maxTokens = 120)
       val df = Embedder.embedDataset(
         chunks.select("doc_id", "text").as[(String, String)]).toDF("doc_id", "vec")
         .join(chunks, Seq("doc_id"))
@@ -167,7 +175,7 @@ final class KgPipeline(spark: SparkSession, root: String,
     val triplesSnap = lineage.runStage("triples", labelsSnap) {
       val t0 = System.nanoTime()
       val df = Triples.fromLines(spark, payloads.map(_.payload),
-        labelsTbl.read().select("id", "label"))
+        labelsTbl.read().filter(col("lang") === "en").select("id", "label"))
       val snap = triplesTbl.merge(df)
       lineage.capture("triples", labelsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
@@ -181,7 +189,7 @@ final class KgPipeline(spark: SparkSession, root: String,
         .flatMap(pp => WikidataJson.parseLine(pp.payload).toSeq.flatMap(WikidataJson.toClaimRows(_, "en")))
         .filter(r => r.pid == PagesGen.sameAsPid && r.isQidValue)
         .map(r => (r.qid, r.valueScalar)).toDF("src", "dst")
-      val nodes = labelsTbl.read().select("id")
+      val nodes = labelsTbl.read().filter(col("lang") === "en").select("id")
       val df = ConnectedComponents.run(spark, sameAs, nodes)
         .withColumnRenamed("component", "canonical")
       val snap = canonTbl.merge(df)
@@ -194,7 +202,7 @@ final class KgPipeline(spark: SparkSession, root: String,
     lineage.runStage("materialize", canonSnap) {
       val t0 = System.nanoTime()
       val canon = canonTbl.read()
-      val nodes = labelsTbl.read()
+      val nodes = labelsTbl.read().filter(col("lang") === "en")
         .join(canon, Seq("id"), "left")
         .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"),
           col("label"), col("is_property"))

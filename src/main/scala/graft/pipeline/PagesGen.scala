@@ -63,8 +63,18 @@ object PagesGen {
     }
     lv("labels", "en", labelOfIndex(i))
     if (i % 5 == 0) lv("labels", "mul", s"Mul ${labelOfIndex(i)}")
+    // per-language data: de/ar labels + descriptions so the per-LANG
+    // normalization path (reference runs one pipeline per LANGUAGE) resolves
+    // real non-en labels end-to-end; every 6th entity lacks de (mul/'' fallback)
+    if (i % 6 != 2) lv("labels", "de", s"${labelOfIndex(i)} (de)")
+    lv("labels", "ar", s"${labelOfIndex(i)} (ar)")
     lv("descriptions", "en", s"synthetic entity number $i in the fixture web")
-    root.`with`("sitelinks").putObject("enwiki").put("site", "enwiki").put("title", labelOfIndex(i))
+    lv("descriptions", "de", s"synthetisches Objekt Nummer $i")
+    lv("descriptions", "ar", s"كيان اصطناعي رقم $i")
+    // every 10th-ish entity has NO sitelink -> is_in_wikipedia false -> the
+    // J4 gate must exclude it from textify/docs (observable gate)
+    if (i % 10 != 7)
+      root.`with`("sitelinks").putObject("enwiki").put("site", "enwiki").put("title", labelOfIndex(i))
 
     val aliases = root.`with`("aliases").putArray("en")
     // ambiguous surface: pool sized with n so the expected candidate-set per
@@ -120,6 +130,17 @@ object PagesGen {
         val s = arr.addObject()
         timeSnak(f"+19${50 + i % 49}%02d-01-01T00:00:00Z", 9, "Q1985727")(s)
       })
+    // provenance references on every 3rd entity's P17 claim (P6: reference
+    // sub-triples); shape matches the dump's references blocks
+    if (i % 3 == 0) {
+      val refs = claims.withArray("P17").get(0).asInstanceOf[ObjectNode].putArray("references")
+      val block = refs.addObject()
+      block.put("hash", s"ref$i")
+      val snaks = block.putObject("snaks")
+      val snakArr = snaks.putArray("P580")
+      timeSnak("+2020-01-01T00:00:00Z", 11, "Q1985727")(snakArr.addObject())
+      block.putArray("snaks-order").add("P580")
+    }
     claim("P361", itemSnak(qid((i * 13 + 5) % n)))
     claim("P1082", qtySnak(s"+${1000 + rnd.nextInt(999000)}", "1"))
     claim("P2043", qtySnak(s"+${rnd.nextInt(5000)}.${rnd.nextInt(10)}", qid(40)))
@@ -137,6 +158,8 @@ object PagesGen {
     val root = mapper.createObjectNode()
     root.put("type", "property").put("id", pid)
     root.`with`("labels").putObject("en").put("language", "en").put("value", label)
+    root.`with`("labels").putObject("de").put("language", "de").put("value", s"$label (de)")
+    root.`with`("labels").putObject("ar").put("language", "ar").put("value", s"$label (ar)")
     root.`with`("descriptions").putObject("en").put("language", "en").put("value", s"property $label")
     root.putObject("aliases"); root.putObject("sitelinks"); root.putObject("claims")
     mapper.writeValueAsString(root)

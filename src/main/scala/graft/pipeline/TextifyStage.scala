@@ -64,35 +64,55 @@ object TextifyStage {
       }
   }
 
-  /** Harvest the label dimension from the corpus itself (both item and
-    * property pages): (id, label, isProperty).
+  /** The data languages the pipeline materializes (the reference runs one
+    * full pipeline per LANG, src/wikidataDB.py:126-148; rdf/json variants
+    * read en data).
+    */
+  val dataLangs: Seq[String] = Seq("en", "de", "ar")
+
+  /** Harvest the per-language label dimension from the corpus itself (both
+    * item and property pages): (id, lang, label, is_property, aliases) — one
+    * row per entity × data language, label/aliases picked with that
+    * language's mul fallback exactly like the reference's per-LANG
+    * normalization.
     */
   def harvestLabels(spark: SparkSession, payloads: Dataset[PagePayload]): DataFrame = {
     import spark.implicits._
     payloads.flatMap { pp =>
-      WikidataJson.parseLine(pp.payload).map { item =>
-        val e = WikidataJson.normalize(item, "en")
-        (e.id, e.label, item.path("type").asText("") == "property")
+      WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
+        val isProp = item.path("type").asText("") == "property"
+        dataLangs.map { lang =>
+          val e = WikidataJson.normalize(item, lang)
+          (e.id, lang, e.label, isProp, e.aliases)
+        }
       }
-    }.toDF("id", "label", "is_property")
+    }.toDF("id", "lang", "label", "is_property", "aliases")
   }
 
   /** Gather-join steps 1–3: each page paired with its private
-    * (id → label) dictionary. Shared by [[render]] and [[renderChunks]].
+    * (id → label) dictionary IN THE PAGE'S DATA LANGUAGE — the labels
+    * dimension is (id, lang, label) and each page's references join against
+    * its own variant's data language (the reference resolves value labels
+    * from the per-LANG-normalized DB). Shared by [[render]] and
+    * [[renderChunks]]; `langOf` maps a page to the variant whose data
+    * language should resolve it.
     */
   private def withLabelMaps(spark: SparkSession, payloads: Dataset[PagePayload],
-                            labels: DataFrame): Dataset[(PagePayload, Map[String, String])] = {
+                            labels: DataFrame, langOf: PagePayload => String)
+      : Dataset[(PagePayload, Map[String, String])] = {
     import spark.implicits._
 
     val refs = payloads.flatMap { pp =>
       WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
-        val e = WikidataJson.normalize(item, "en")
-        referencedIds(e).map(r => (pp.url, r))
+        val e = WikidataJson.normalize(item, "en") // claims are lang-independent
+        val dl = LangVariant.dataLang(langOf(pp))
+        referencedIds(e).map(r => (pp.url, r, dl))
       }
-    }.toDF("url", "ref")
+    }.toDF("url", "ref", "ref_lang")
 
     val labelMaps = refs
-      .join(labels.select(col("id"), col("label")), col("ref") === col("id"), "inner")
+      .join(labels.select(col("id"), col("lang"), col("label")),
+        col("ref") === col("id") && col("ref_lang") === col("lang"), "inner")
       .groupBy("url")
       .agg(map_from_entries(collect_list(struct(col("ref"), col("label")))).as("label_map"))
       .as[(String, Map[String, String])]
@@ -105,16 +125,17 @@ object TextifyStage {
   }
 
   /** Render extracted text per page — byte-identical to the reference's
-    * serialization for that page's entity and language variant.
-    * Output: (url, id, lang, text). Unparseable payloads are dropped (the
-    * same None-semantics as every other stage's flatMap — one dirty page
-    * must not abort a corpus-scale run).
+    * serialization for that page's entity and language variant, with the
+    * entity normalized in the variant's DATA language (per-LANG pipeline
+    * semantics). Output: (url, id, lang, text). Unparseable payloads are
+    * dropped (the same None-semantics as every other stage's flatMap — one
+    * dirty page must not abort a corpus-scale run).
     */
   def render(spark: SparkSession, payloads: Dataset[PagePayload], labels: DataFrame): DataFrame = {
     import spark.implicits._
-    withLabelMaps(spark, payloads, labels).flatMap { case (pp, labelMap) =>
+    withLabelMaps(spark, payloads, labels, _.lang).flatMap { case (pp, labelMap) =>
       WikidataJson.parseLine(pp.payload).map { item =>
-        val entity = WikidataJson.normalize(item, "en")
+        val entity = WikidataJson.normalize(item, LangVariant.dataLang(pp.lang))
         val textifier = new Textifier(LangVariant(pp.lang), labelMap.get)
         (pp.url, entity.id, pp.lang, textifier.entityToText(entity))
       }
@@ -131,10 +152,11 @@ object TextifyStage {
   def renderChunks(spark: SparkSession, payloads: Dataset[PagePayload], labels: DataFrame,
                    maxTokens: Int, langOverride: Option[String] = None): DataFrame = {
     import spark.implicits._
-    withLabelMaps(spark, payloads, labels).flatMap { case (pp, labelMap) =>
+    val langOf: PagePayload => String = pp => langOverride.getOrElse(pp.lang)
+    withLabelMaps(spark, payloads, labels, langOf).flatMap { case (pp, labelMap) =>
       WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
-        val e = WikidataJson.normalize(item, "en")
-        val lang = langOverride.getOrElse(pp.lang)
+        val lang = langOf(pp)
+        val e = WikidataJson.normalize(item, LangVariant.dataLang(lang))
         val textifier = new Textifier(LangVariant(lang), labelMap.get)
         val tok = new graft.textify.SimpleTokenizer(8)
         graft.textify.Chunker.chunkText(textifier, e, tok, maxTokens)

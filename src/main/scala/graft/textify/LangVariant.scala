@@ -216,4 +216,14 @@ object LangVariant {
     "rdf" -> LangRdf, "json" -> LangJsonVariant)
   def apply(name: String): LangVariant =
     all.getOrElse(name, throw new IllegalArgumentException(s"Language file for '$name' not found."))
+
+  /** Data language of a variant: the reference pipeline normalizes the whole
+    * DB with LANGUAGE before textifying (src/wikidataDB.py:126-148 run per
+    * LANG), so de/ar pick their own labels/descriptions/aliases (mul
+    * fallback); rdf/json are en-data presentation variants.
+    */
+  def dataLang(name: String): String = name match {
+    case "de" | "ar" => name
+    case _ => "en"
+  }
 }

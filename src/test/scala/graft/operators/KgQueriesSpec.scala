@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.pipeline.PagesGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural expectations for the corpus-stats (A1) and sub-triple (P6)
+  * queries, derived independently from the PagesGen generation rules.
+  */
+class KgQueriesSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val n = KgQueries.nPages
+
+  test("kg9 stats: per-PID / per-class / per-site counts match generator rules") {
+    val stats = KgQueries.stats(spark, "")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+
+    // every item has exactly one P1082 / P17 / P361 / P571 / P1448 claim
+    Seq("P1082", "P17", "P361", "P571", "P1448").foreach { pid =>
+      assert(stats(("claims_per_pid", pid)) == n, pid)
+    }
+    // P31: one normal each + preferred for i%7==0 + deprecated for i%13==0
+    // (claim rows follow the statement extractor, which does NOT rank-filter)
+    val p31 = n + (0L until n).count(_ % 7 == 0) + (0L until n).count(_ % 13 == 0)
+    assert(stats(("claims_per_pid", "P31")) == p31)
+    // sameAs twin edges
+    assert(stats(("claims_per_pid", PagesGen.sameAsPid)) == (0L until n).count(_ % 12 == 1))
+    // sitelinks: every item except the gated ones
+    assert(stats(("sitelinks_per_site", "enwiki")) == (0L until n).count(_ % 10 != 7))
+    // instance counts partition the P31 claim rows
+    val instSum = stats.collect { case (("instances_per_class", _), c) => c }.sum
+    assert(instSum == p31)
+  }
+
+  test("kg8 triplets: main/qualifier/reference parts match generator rules") {
+    val parts = KgQueries.triplets(spark, "")
+      .groupBy("part").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+
+    // references: one P580 reference snak on P17 for every 3rd item
+    assert(parts("reference") == (0L until n).count(_ % 3 == 0))
+    // qualifiers: one P580 qualifier on every item's P17 claim
+    assert(parts("qualifier") == n)
+    // mains: unlike P5, get_triplets keeps deprecated ranks — P31 deprecated
+    // rows for i%13==0 are present
+    val mains = KgQueries.triplets(spark, "")
+      .filter(col("part") === "main" && col("pid") === "P31").count()
+    assert(mains == n + (0L until n).count(_ % 7 == 0) + (0L until n).count(_ % 13 == 0))
+  }
+}

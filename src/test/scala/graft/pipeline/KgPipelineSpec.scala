@@ -26,32 +26,59 @@ class KgPipelineSpec extends AnyFunSuite {
   }
   private lazy val pipe = new KgPipeline(spark, root, nPages = n)
 
-  test("extracted text is byte-identical per url to the pure textifier") {
+  private def gatedOut(i: Long): Boolean = i % 10 == 7 // PagesGen: no sitelink
+
+  test("extracted text is byte-identical per url to the pure textifier (per-lang data)") {
     root // force run
     val texts = pipe.textsTbl.read().as[(String, String, String, String)].collect()
       .map(t => t._1 -> (t._2, t._3, t._4)).toMap
-    assert(texts.size == n + PagesGen.properties.size)
+    // J4 gate: only in_wikipedia entities are textified — sitelink-less items
+    // and property pages (no sitelinks) are excluded
+    assert(texts.size == (0L until n).count(!gatedOut(_)))
 
-    // recompute each page purely with a complete label map
-    val labels = pipe.labelsTbl.read().select("id", "label")
-      .as[(String, String)].collect().toMap
+    // recompute each page purely with a complete per-lang label map
+    val labels = pipe.labelsTbl.read().select("id", "lang", "label")
+      .as[(String, String, String)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     (0L until n).foreach { i =>
-      val payload = PagesGen.entityJson(i, n, mapper)
-      val item = WikidataJson.parseLine(payload).get
-      val entity = WikidataJson.normalize(item, "en")
-      val lang = PagesGen.langs((i % PagesGen.langs.size).toInt)
-      val expected = new Textifier(LangVariant(lang), labels.get).entityToText(entity)
-      val (id, gotLang, got) = texts(PagesGen.urlOf(PagesGen.qid(i)))
-      assert(id == PagesGen.qid(i) && gotLang == lang)
-      assert(got == expected, s"url ${PagesGen.urlOf(PagesGen.qid(i))}")
+      val url = PagesGen.urlOf(PagesGen.qid(i))
+      if (gatedOut(i)) assert(!texts.contains(url), s"gated page $url must not be textified")
+      else {
+        val payload = PagesGen.entityJson(i, n, mapper)
+        val item = WikidataJson.parseLine(payload).get
+        val lang = PagesGen.langs((i % PagesGen.langs.size).toInt)
+        val dl = LangVariant.dataLang(lang)
+        val entity = WikidataJson.normalize(item, dl)
+        val expected = new Textifier(LangVariant(lang),
+          id => labels.get((id, dl))).entityToText(entity)
+        val (id, gotLang, got) = texts(url)
+        assert(id == PagesGen.qid(i) && gotLang == lang)
+        assert(got == expected, s"url $url")
+      }
+    }
+  }
+
+  test("J4 gate: id_flags drives textify/docs; gated ids flagged not-in-wikipedia") {
+    root
+    val flags = pipe.idFlagsTbl.read()
+      .select("id", "in_wikipedia").as[(String, Boolean)].collect().toMap
+    (0L until n).foreach { i =>
+      assert(flags(PagesGen.qid(i)) == !gatedOut(i), s"flag for ${PagesGen.qid(i)}")
+    }
+    val docQids = pipe.docsTbl.read().select("qid").distinct().as[String].collect().toSet
+    (0L until n).filter(gatedOut).foreach { i =>
+      assert(!docQids.contains(PagesGen.qid(i)), s"gated ${PagesGen.qid(i)} must have no docs")
+    }
+    (0L until n).filterNot(gatedOut).foreach { i =>
+      assert(docQids.contains(PagesGen.qid(i)), s"${PagesGen.qid(i)} must have docs")
     }
   }
 
   test("pipeline triples == pure per-item extraction") {
     root
     val got = pipe.triplesTbl.read().as[graft.model.Triple].collect().sortBy(_.uuid)
-    val labels = pipe.labelsTbl.read().select("id", "label")
+    val labels = pipe.labelsTbl.read().filter(col("lang") === "en").select("id", "label")
       .as[(String, String)].collect().toMap
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val expected = ((0L until n).map(i => PagesGen.entityJson(i, n, mapper)) ++
@@ -67,7 +94,8 @@ class KgPipelineSpec extends AnyFunSuite {
     root
     import org.apache.spark.sql.functions.col
     val docs = pipe.docsTbl.read()
-    assert(docs.count() >= n) // at least one chunk per item page
+    // at least one chunk per non-gated item page
+    assert(docs.count() >= (0L until n).count(!gatedOut(_)))
     val sample = docs.filter(col("qid") === PagesGen.qid(3))
       .orderBy("chunk")
       .select("doc_id", "lang", "chunk", "text")

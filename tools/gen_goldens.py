@@ -71,12 +71,16 @@ def qty_v(amount, unit="1"):
     return sv("quantity", {"amount": amount, "unit": u})
 
 
-def claim(mainsnak, rank="normal", qualifiers=None, ctype="statement"):
+def claim(mainsnak, rank="normal", qualifiers=None, ctype="statement", references=None):
     c = {"mainsnak": dict(mainsnak, hash="deadbeef"), "type": ctype, "rank": rank,
          "id": "stmt$id"}
     if qualifiers:
         c["qualifiers"] = qualifiers
         c["qualifiers-order"] = list(qualifiers.keys())
+    if references:
+        c["references"] = [
+            {"hash": f"ref{i}", "snaks": snaks, "snaks-order": list(snaks.keys())}
+            for i, snaks in enumerate(references)]
     return c
 
 
@@ -97,7 +101,7 @@ FIXTURES = []
 FIXTURES.append(entity(
     "Q90001",
     labels={**lv("en", "Fixture City"), **lv("de", "Fixturstadt")},
-    descriptions=lv("en", "synthetic test city"),
+    descriptions={**lv("en", "synthetic test city"), **lv("de", "synthetische Teststadt")},
     aliases={"en": [{"value": "FixCity"}, {"value": "The Fixture"}],
              "mul": [{"value": "FixCity"}, {"value": "FC"}]},
     sitelinks={"enwiki": {"site": "enwiki", "title": "Fixture City"},
@@ -108,8 +112,15 @@ FIXTURES.append(entity(
                                                             "precision": 9,
                                                             "calendarmodel": "http://www.wikidata.org/entity/Q1985727"}),
                                                hash="h1")],
-                                  "P17": [item_v("Q183")]})],
-        "P17": [claim(item_v("Q183"))],
+                                  "P17": [item_v("Q183")]},
+                      references=[{"P123": [item_v("Q64")],
+                                   "P580": [time_v("+2014-09-18T00:00:00Z", 11, "Q1985727")]}])],
+        "P17": [claim(item_v("Q183"),
+                      references=[{"P1448": [sv("monolingualtext",
+                                                {"text": "ref text", "language": "en"})]},
+                                  {"P1082": [qty_v("+7", "Q11573")],
+                                   "P123": [{"snaktype": "somevalue",
+                                             "datatype": "wikibase-item"}]}])],
         "P1448": [claim(sv("monolingualtext", {"text": "City of Fixtures", "language": "en"}))],
         "P1082": [claim(qty_v("+120345"))],
         "P2046": [claim(qty_v("+891.68", "Q828224"))],
@@ -253,8 +264,9 @@ LABELS["Q90011"] = "مدينة الاختبار"
 LABELS["Q90012"] = "測試城市"
 FIXTURES.append(entity(
     "Q90011",
-    labels=lv("en", "مدينة الاختبار"),
-    descriptions=lv("en", "مدينة اصطناعية für Tests — café"),
+    labels={**lv("en", "مدينة الاختبار"), **lv("ar", "مدينة الاختبار الاصطناعية")},
+    descriptions={**lv("en", "مدينة اصطناعية für Tests — café"),
+                  **lv("ar", "وصف عربي للمدينة الاصطناعية")},
     aliases={"en": [{"value": "المدينة"}, {"value": "Prüfstadt"}]},
     sitelinks={"enwiki": {"site": "enwiki", "title": "Test"}},
     claims={
@@ -454,7 +466,15 @@ for raw in FIXTURES:
     ent = StubEntity(norm["id"], norm["label"], norm["description"],
                      json.loads(norm["aliases"]), json.loads(norm["claims"]))
     for v in VARIANTS:
-        txt = textifiers[v].entity_to_text(ent)
+        # the reference pipeline normalizes the whole DB with LANGUAGE before
+        # textifying (src/wikidataDB.py:126-148 run per LANG): de/ar variants
+        # therefore pick that language's label/description/aliases (mul
+        # fallback); rdf/json are en-data presentation variants
+        norm_lang = v if v in ("de", "ar") else "en"
+        nv = norm if norm_lang == "en" else normalise_item(raw, language=norm_lang)
+        ent_v = StubEntity(nv["id"], nv["label"], nv["description"],
+                           json.loads(nv["aliases"]), json.loads(nv["claims"]))
+        txt = textifiers[v].entity_to_text(ent_v)
         with open(f"{OUT}/goldens/text/{qid}_{v}.txt", "w") as f:
             f.write(txt)
     # triples (en), uuid/embedding stripped
@@ -553,6 +573,42 @@ for item in REST_ITEMS:
     for r in rows:
         r.pop("embedding", None)
     with open(f"{OUT}/goldens/rest/{item['item_data']['id']}.json", "w") as f:
+        json.dump(rows, f, ensure_ascii=False, indent=1)
+
+# --------------------------------------------------------------------------
+# 7c. Qualifier + reference triples (P6): execute the REFERENCE notebook's own
+#     get_triplets + cleanup chain (Data_Sample_Preparation.ipynb cells 2/3/5)
+#     over the fixtures. get_labels is stubbed from LABELS (the notebook hits
+#     the Wikidata API; add_labels only restructures — get_value unwraps it).
+# --------------------------------------------------------------------------
+
+nb = json.load(open(f"{REF}/notebooks/Data_Sample_Preparation.ipynb"))
+nb_cells = ["".join(c["source"]) for c in nb["cells"] if c["cell_type"] == "code"]
+cell_clean = next(s for s in nb_cells if "def clean_datavalue" in s)
+cell_triplets = next(s for s in nb_cells if "def get_triplets" in s)
+
+import re as re_mod
+nb_ns = {"re": re_mod, "requests": requests_stub, "isinstance": isinstance,
+         "print": print}
+exec(cell_clean, nb_ns)
+nb_ns["get_labels"] = lambda qpid: {
+    "en": {"language": "en", "value": LABELS.get(qpid, "")}}
+exec(cell_triplets, nb_ns)
+
+os.makedirs(f"{OUT}/goldens/triplets", exist_ok=True)
+for raw in FIXTURES:
+    # the notebook's exact cleanup chain (cell 3) before get_triplets
+    cc = nb_ns["remove_keys"](raw["claims"], [
+        "hash", "snaktype", "type", "entity-type", "numeric-id",
+        "qualifiers-order", "snaks-order"])
+    cc = nb_ns["clean_datavalue"](cc)
+    cc = nb_ns["remove_keys"](cc, ["id"])
+    cc = nb_ns["add_labels"](cc)
+    rows = nb_ns["get_triplets"]({"claims": cc})
+    # strip add_labels' label decorations: get_value already unwrapped the
+    # ones that matter; drop the rest so goldens stay label-store-independent
+    rows = nb_ns["remove_keys"](rows, ["labels", "property-labels", "unit-labels"])
+    with open(f"{OUT}/goldens/triplets/{raw['id']}.json", "w") as f:
         json.dump(rows, f, ensure_ascii=False, indent=1)
 
 # time matrix: run the real time_to_text over a grid; record RAISE on error
