@@ -576,6 +576,38 @@ for item in REST_ITEMS:
         json.dump(rows, f, ensure_ascii=False, indent=1)
 
 # --------------------------------------------------------------------------
+# 7b2. Alt item chunker (T7): execute the REFERENCE's own
+#      entity_to_item_chunks / chunk_item_string / convert_props_to_string
+#      (wikidata_datadump_item_textification.py:332-540) with query_label
+#      stubbed. Quirks preserved: n_statements counts dict .items() tuples
+#      (always 2 per property), the final partial chunk SKIPS a chunk id,
+#      every claim gets its own line (the comma-join branch is dead code).
+# --------------------------------------------------------------------------
+
+it_src = extract_functions(
+    f"{REF}/experimental_run_scripts/wikidata_datadump_item_textification.py",
+    ["get_value_label", "get_property_label", "convert_props_to_string",
+     "chunk_item_string", "entity_to_item_chunks"])
+it_ns = {"query_label": query_label, "uuid": uuid_mod, "isinstance": isinstance,
+         "print": print}
+exec(it_src, it_ns)
+entity_to_item_chunks = it_ns["entity_to_item_chunks"]
+
+os.makedirs(f"{OUT}/goldens/itemchunks", exist_ok=True)
+for raw in FIXTURES:
+    if "en" not in raw.get("descriptions", {}):
+        continue  # the production loop's F10 guard: skip without lang description
+    out = {}
+    for cs in (5, 100):
+        rows = entity_to_item_chunks(raw, conn=object(), chunksize=cs, lang="en")
+        for r in rows:
+            r.pop("uuid", None)
+            r.pop("embedding", None)
+        out[str(cs)] = rows
+    with open(f"{OUT}/goldens/itemchunks/{raw['id']}.json", "w") as f:
+        json.dump(out, f, ensure_ascii=False, indent=1)
+
+# --------------------------------------------------------------------------
 # 7c. Qualifier + reference triples (P6): execute the REFERENCE notebook's own
 #     get_triplets + cleanup chain (Data_Sample_Preparation.ipynb cells 2/3/5)
 #     over the fixtures. get_labels is stubbed from LABELS (the notebook hits
