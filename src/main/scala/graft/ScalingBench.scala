@@ -102,15 +102,10 @@ object ScalingBench {
   def shuffleJob(spark: SparkSession, path: String): (Long, Long) = {
     import spark.implicits._
     val payloads = TextifyStage.payloads(spark, spark.read.parquet(path)).persist()
-    val labels = payloads.flatMap { pp =>
-      WikidataJson.parseLine(pp.payload).map { item =>
-        val e = WikidataJson.normalize(item, "en")
-        (e.id, e.label, item.path("type").asText("") == "property", e.aliases)
-      }
-    }.toDF("id", "label", "is_property", "aliases").persist()
+    val labels = TextifyStage.harvestLabels(spark, payloads).persist()
     val nTexts = TextifyStage.render(spark, payloads, labels).count()
     val nTriples = Triples.fromLines(spark, payloads.map(_.payload),
-      labels.select("id", "label")).count()
+      labels.filter(col("lang") === "en").select("id", "label")).count()
     payloads.unpersist(); labels.unpersist()
     (nTexts, nTriples)
   }

@@ -95,7 +95,10 @@ object Dedup {
         (0 until perBand).map(r => element_at(col("sig"), b * perBand + r + 1).as(s"r$r")): _*)
         .as("bucket")
     }
+    // both self-join sides read the bucket frame: persist so signatures are
+    // computed once per doc, not once per side
     val buckets = d.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bucket"))
+      .persist()
 
     val l = buckets.select(col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
     val r = buckets.select(col("bucket"), col("doc_id").as("b"), col("sig").as("sigb"))
@@ -144,7 +147,7 @@ object Dedup {
     val blocks = (0 until 4).map { b =>
       d.select(col("doc_id"), col("sig"),
         lit(b).as("block"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).persist() // feeds both self-join sides
     val l = blocks.select(col("block"), col("key"), col("doc_id").as("a"), col("sig").as("siga"))
     val r = blocks.select(col("block"), col("key"), col("doc_id").as("b"), col("sig").as("sigb"))
     l.join(r, Seq("block", "key")).filter(col("a") < col("b"))
@@ -174,9 +177,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val d = withShingles(spark, dir)
     val invAll = d.select(col("doc_id"), explode(col("sh")).as("g"))
+    // persist the capped postings: they feed BOTH self-join sides and the
+    // per-doc sizes — without it the shingle map ran 4× per query (MEMORY_AND
+    // _DISK, so at scale the posting list spills rather than recomputes)
     val inv = invAll
       .withColumn("_df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("_df") <= maxDf).drop("_df")
+      .persist()
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = inv.as("x").join(inv.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))

@@ -47,4 +47,37 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("q3_top_orders")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("s3: exact near-dup broadcasts one side (single corpus scan, no shuffle pair-join)") {
+    val p = planOf("s3_embedding_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("graft_fdot"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("em3: candidate metadata filter sits in the broadcast join condition, not post-scoring") {
+    val p = planOf("em3_filtered_retrieval")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the label predicate must be part of the join, so cosine never runs on
+    // filtered-out candidates: no Filter node containing the cosine expr
+    // above the join feeds from an unfiltered join output
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    val joinLine = p.substring(joinIdx, p.indexOf('\n', joinIdx).max(joinIdx))
+    assert(p.substring(joinIdx).contains("query_label"), "label predicate not in join section")
+  }
+
+  test("dd3: capped posting list is computed once and cached for join sides + sizes") {
+    val p = planOf("dd3_ngram_jaccard")
+    assert(p.contains("Window"), p.take(1200))
+    // the shingle map + df-cap subtree must appear as a cache scan, not be
+    // re-derived per self-join side (it ran 4x per query before)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "posting list not cached:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("kw1: query-term and stats joins broadcast (postings never reshuffle per query)") {
+    val p = planOf("kw1_keyword_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
 }
