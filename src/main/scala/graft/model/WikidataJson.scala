@@ -108,6 +108,14 @@ object WikidataJson {
     }.toSeq
   }
 
+  /** Label + aliases only — the per-language label-dimension harvest path.
+    * Skips the claims parse entirely (claims are language-independent and
+    * the dimension doesn't store them), which matters when one item is
+    * harvested once per data language.
+    */
+  def labelAliases(item: JsonNode, language: String): (String, Seq[String]) =
+    (langValue(item, "labels", language), aliases(item, language))
+
   /** `normalise_item` → typed Entity. */
   def normalize(item: JsonNode, language: String = "en"): Entity =
     Entity(

@@ -35,6 +35,8 @@ final class KgPipeline(spark: SparkSession, root: String,
   val linksTbl = new MergeTable(spark, s"$root/links", Seq("url", "begin", "rank"))
   val triplesTbl = new MergeTable(spark, s"$root/triples", Seq("uuid"))
   val docsTbl = new MergeTable(spark, s"$root/docs", Seq("doc_id"))
+  val vecsTbl = new MergeTable(spark, s"$root/entity_vecs", Seq("id"))
+  val sameAsTbl = new MergeTable(spark, s"$root/sameas", Seq("src", "dst"))
   val canonTbl = new MergeTable(spark, s"$root/canon", Seq("id"))
   val nodesTbl = new MergeTable(spark, s"$root/nodes", Seq("id"))
   val edgesTbl = new MergeTable(spark, s"$root/edges", Seq("src", "dst", "kind"))
@@ -59,17 +61,26 @@ final class KgPipeline(spark: SparkSession, root: String,
   }
 
   /** Incremental ingest: MERGE a batch of new/changed pages (upsert by url)
-    * and run every downstream stage against the new pages snapshot (stage
-    * markers are per input snapshot, so the new chain executes exactly
-    * once). Derived stages recompute over the merged corpus and their
-    * MERGE-upserts converge: unchanged rows rewrite to identical values
-    * (deterministic ids), changed/new rows update in place. Delta-only
-    * recomputation (process just the changed buckets) is the flagged
-    * refinement for true 10^12-scale increments.
+    * and run the downstream stages against the new pages snapshot (stage
+    * markers are per input snapshot, so the chain executes exactly once).
+    *
+    * `delta = false` (exactness mode): every derived stage recomputes over
+    * the merged corpus; MERGE-upserts converge — unchanged rows rewrite to
+    * identical values (deterministic ids), changed/new rows update in place.
+    *
+    * `delta = true` (10^12-scale mode): per-page stages (textify, mentions,
+    * link, docs, triples) process ONLY the batch's pages and MERGE their
+    * rows; global artifacts (id-flag OR-merge, canonicalization, edges)
+    * update from the materialized tables, never by re-reading the corpus.
+    * Contract: per-page outputs of untouched pages are left as-is — a label
+    * added by this batch starts matching in pages processed from now on
+    * (exactly the reference's two-pass semantics, where the dictionary is
+    * frozen before stage 3), and links cached against an entity whose text
+    * this batch changed refresh only when their page is next touched.
     */
-  def ingest(newPages: org.apache.spark.sql.DataFrame): Long = {
+  def ingest(newPages: org.apache.spark.sql.DataFrame, delta: Boolean = false): Long = {
     val pagesSnap = pagesTbl.merge(newPages)
-    runFrom(pagesSnap)
+    if (delta) runDelta(newPages, pagesSnap) else runFrom(pagesSnap)
   }
 
   private def runFrom(pagesSnap: Long): Long = {
@@ -102,16 +113,7 @@ final class KgPipeline(spark: SparkSession, root: String,
     }
     checkFail("harvest_ids")
 
-    // the J4 driving gate: only in_wikipedia entities are textified/chunked,
-    // exactly the reference's stage-3 driving scan
-    // (docker/3_Add_Wikidata_to_AstraDB/run.py:61). url=…/wiki/{id} is the
-    // pages contract, so the gate is an equi-semi-join on the trailing id.
-    lazy val gatedPayloads = {
-      val inWiki = idFlagsTbl.read().filter(col("in_wikipedia")).select(col("id").as("_gid"))
-      payloads
-        .joinWith(inWiki, substring_index(payloads("url"), "/", -1) === col("_gid"), "inner")
-        .map(_._1)
-    }
+    lazy val gatedPayloads = gatePayloads(payloads)
 
     // stage: textify — byte-identical extracted text per url (gated)
     val textsSnap = lineage.runStage("textify", labelsSnap) {
@@ -129,24 +131,22 @@ final class KgPipeline(spark: SparkSession, root: String,
     // full-dimension collect)
     val mentionsSnap = lineage.runStage("mentions", textsSnap) {
       val t0 = System.nanoTime()
-      val dict = labelsTbl.read().filter(!col("is_property") && col("lang") === "en")
-        .select(col("id"), explode(array_union(array(col("label")), col("aliases"))).as("surface"))
-        .filter(length(col("surface")) > 0)
-        .groupBy("surface").agg(collect_list("id").as("ids"))
-      val df = Linker.mentionsSharded(spark, textsTbl.read(), dict)
+      val df = Linker.mentionsSharded(spark, textsTbl.read(), mentionDict())
       val snap = mentionsTbl.merge(df)
       lineage.capture("mentions", textsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
     checkFail("mentions")
 
-    // stage: link — batched stand-in embeddings + cosine top-K per mention
+    // stage: link — batched stand-in embeddings + cosine top-K per mention.
+    // Entity vectors persist in their own MERGE table so incremental (delta)
+    // ingests embed only touched pages, never the whole corpus.
     val linksSnap = lineage.runStage("link", mentionsSnap) {
       val t0 = System.nanoTime()
       val texts = textsTbl.read()
-      val entityVecs = Embedder.embedDataset(
-        texts.select("id", "text").as[(String, String)]).toDF("id", "vec")
-      val df = Linker.link(spark, mentionsTbl.read(), entityVecs, linkK)
+      vecsTbl.merge(Embedder.embedDataset(
+        texts.select("id", "text").as[(String, String)]).toDF("id", "vec"))
+      val df = Linker.link(spark, mentionsTbl.read(), vecsTbl.read(), linkK)
       val snap = linksTbl.merge(df)
       lineage.capture("link", mentionsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
@@ -182,15 +182,14 @@ final class KgPipeline(spark: SparkSession, root: String,
     }
     checkFail("triples")
 
-    // stage: canon — CC over sameAs edges, canonical = min id per component
+    // stage: canon — CC over sameAs edges, canonical = min id per component.
+    // Edges land in their own MERGE table first, so delta ingests can extend
+    // the edge set without re-parsing the corpus.
     val canonSnap = lineage.runStage("canon", triplesSnap) {
       val t0 = System.nanoTime()
-      val sameAs = payloads
-        .flatMap(pp => WikidataJson.parseLine(pp.payload).toSeq.flatMap(WikidataJson.toClaimRows(_, "en")))
-        .filter(r => r.pid == PagesGen.sameAsPid && r.isQidValue)
-        .map(r => (r.qid, r.valueScalar)).toDF("src", "dst")
+      sameAsTbl.merge(sameAsEdges(payloads))
       val nodes = labelsTbl.read().filter(col("lang") === "en").select("id")
-      val df = ConnectedComponents.run(spark, sameAs, nodes)
+      val df = ConnectedComponents.run(spark, sameAsTbl.read(), nodes)
         .withColumnRenamed("component", "canonical")
       val snap = canonTbl.merge(df)
       lineage.capture("canon", triplesSnap, df, (System.nanoTime() - t0) / 1000000)
@@ -199,39 +198,173 @@ final class KgPipeline(spark: SparkSession, root: String,
     checkFail("canon")
 
     // stage: materialize — nodes + edges with canonical ids rewritten
-    lineage.runStage("materialize", canonSnap) {
-      val t0 = System.nanoTime()
-      val canon = canonTbl.read()
-      val nodes = labelsTbl.read().filter(col("lang") === "en")
-        .join(canon, Seq("id"), "left")
-        .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"),
-          col("label"), col("is_property"))
-      nodesTbl.merge(nodes)
-
-      val linkEdges = linksTbl.read().filter(col("rank") === 1)
-        .join(textsTbl.read().select(col("url"), col("id").as("src")), Seq("url"))
-        .select(col("src"), col("qid").as("dst"), lit("mentions").as("kind"))
-      val sameAsEdges = payloads
-        .flatMap(pp => WikidataJson.parseLine(pp.payload).toSeq.flatMap(WikidataJson.toClaimRows(_, "en")))
-        .filter(r => r.pid == PagesGen.sameAsPid && r.isQidValue)
-        .map(r => (r.qid, r.valueScalar, "sameAs")).toDF("src", "dst", "kind")
-      val canonSrc = canon.select(col("id").as("src"), col("canonical").as("src_canon"))
-      val canonDst = canon.select(col("id").as("dst"), col("canonical").as("dst_canon"))
-      val edges = linkEdges.unionByName(sameAsEdges)
-        .join(canonSrc, Seq("src"), "left")
-        .join(canonDst, Seq("dst"), "left")
-        .select(
-          coalesce(col("src_canon"), col("src")).as("src"),
-          coalesce(col("dst_canon"), col("dst")).as("dst"),
-          col("kind"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      val snap = edgesTbl.merge(edges)
-      lineage.capture("materialize", canonSnap, edges, (System.nanoTime() - t0) / 1000000)
-      snap
-    }
+    lineage.runStage("materialize", canonSnap)(materializeStage(canonSnap))
     checkFail("materialize")
 
+    triplesSnap
+  }
+
+  /** Nodes + edges from the materialized tables (fully table-driven — shared
+    * by the full and delta paths).
+    */
+  private def materializeStage(canonSnap: Long): Long = {
+    val t0 = System.nanoTime()
+    val canon = canonTbl.read()
+    val nodes = labelsTbl.read().filter(col("lang") === "en")
+      .join(canon, Seq("id"), "left")
+      .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"),
+        col("label"), col("is_property"))
+    nodesTbl.merge(nodes)
+
+    val linkEdges = linksTbl.read().filter(col("rank") === 1)
+      .join(textsTbl.read().select(col("url"), col("id").as("src")), Seq("url"))
+      .select(col("src"), col("qid").as("dst"), lit("mentions").as("kind"))
+    val sameAs = sameAsTbl.read().withColumn("kind", lit("sameAs"))
+    val canonSrc = canon.select(col("id").as("src"), col("canonical").as("src_canon"))
+    val canonDst = canon.select(col("id").as("dst"), col("canonical").as("dst_canon"))
+    val edges = linkEdges.unionByName(sameAs)
+      .join(canonSrc, Seq("src"), "left")
+      .join(canonDst, Seq("dst"), "left")
+      .select(
+        coalesce(col("src_canon"), col("src")).as("src"),
+        coalesce(col("dst_canon"), col("dst")).as("dst"),
+        col("kind"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val snap = edgesTbl.merge(edges)
+    lineage.capture("materialize", canonSnap, edges, (System.nanoTime() - t0) / 1000000)
+    snap
+  }
+
+  /** The J4 driving gate: only in_wikipedia entities are textified/chunked,
+    * exactly the reference's stage-3 driving scan
+    * (docker/3_Add_Wikidata_to_AstraDB/run.py:61). url=…/wiki/{id} is the
+    * pages contract, so the gate is an equi-semi-join on the trailing id.
+    */
+  private def gatePayloads(payloads: org.apache.spark.sql.Dataset[PagePayload])
+      : org.apache.spark.sql.Dataset[PagePayload] = {
+    val inWiki = idFlagsTbl.read().filter(col("in_wikipedia")).select(col("id").as("_gid"))
+    payloads
+      .joinWith(inWiki, substring_index(payloads("url"), "/", -1) === col("_gid"), "inner")
+      .map(_._1)
+  }
+
+  /** (surface → candidate ids) for the mention trie, from the en label dim. */
+  private def mentionDict(): DataFrame =
+    labelsTbl.read().filter(!col("is_property") && col("lang") === "en")
+      .select(col("id"), explode(array_union(array(col("label")), col("aliases"))).as("surface"))
+      .filter(length(col("surface")) > 0)
+      .groupBy("surface").agg(collect_list("id").as("ids"))
+
+  private def sameAsEdges(payloads: org.apache.spark.sql.Dataset[PagePayload]): DataFrame = {
+    payloads
+      .flatMap(pp => WikidataJson.parseLine(pp.payload).toSeq.flatMap(WikidataJson.toClaimRows(_, "en")))
+      .filter(r => r.pid == PagesGen.sameAsPid && r.isQidValue)
+      .map(r => (r.qid, r.valueScalar)).toDF("src", "dst")
+  }
+
+  /** Delta-only ingest chain: per-page stages run over THIS BATCH's pages
+    * only; global artifacts (id flags, canon, nodes/edges) update from the
+    * materialized tables. No stage re-reads or re-parses the full corpus —
+    * at 10^12 docs an increment costs O(batch) work plus the (edge-set-sized)
+    * canonicalization, never O(corpus).
+    */
+  private def runDelta(newPages: DataFrame, pagesSnap: Long): Long = {
+    val payloads = TextifyStage.payloads(spark, newPages).persist()
+    val batchUrls = newPages.select("url")
+
+    lineage.runStage("delta_harvest", pagesSnap) {
+      val t0 = System.nanoTime()
+      val df = TextifyStage.harvestLabels(spark, payloads)
+      val snap = labelsTbl.merge(df)
+      lineage.capture("delta_harvest", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      snap
+    }
+
+    lineage.runStage("delta_harvest_ids", pagesSnap) {
+      val t0 = System.nanoTime()
+      val batchFlags = payloads
+        .flatMap(pp => WikidataJson.parseLine(pp.payload).toSeq.flatMap(WikidataJson.extractEntityIds(_, "en")))
+        .toDF("id", "in_wikipedia", "is_property")
+      // S7 OR-merge across batches: fold in the existing flags of just the
+      // touched ids (semi-join), so a true flag never regresses to false
+      val existing = idFlagsTbl.read()
+        .join(batchFlags.select("id").distinct(), Seq("id"), "left_semi")
+      val df = batchFlags.unionByName(existing)
+        .groupBy("id")
+        .agg(max("in_wikipedia").as("in_wikipedia"), max("is_property").as("is_property"))
+      val snap = idFlagsTbl.merge(df)
+      lineage.capture("delta_harvest_ids", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      snap
+    }
+
+    val gated = gatePayloads(payloads)
+
+    lineage.runStage("delta_textify", pagesSnap) {
+      val t0 = System.nanoTime()
+      val df = TextifyStage.render(spark, gated, labelsTbl.read())
+      val snap = textsTbl.merge(df)
+      lineage.capture("delta_textify", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      snap
+    }
+
+    def batchTexts = textsTbl.read().join(batchUrls, Seq("url"), "left_semi")
+
+    lineage.runStage("delta_mentions", pagesSnap) {
+      val t0 = System.nanoTime()
+      val df = Linker.mentionsSharded(spark, batchTexts, mentionDict())
+      val snap = mentionsTbl.merge(df)
+      lineage.capture("delta_mentions", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      snap
+    }
+
+    lineage.runStage("delta_link", pagesSnap) {
+      val t0 = System.nanoTime()
+      vecsTbl.merge(Embedder.embedDataset(
+        batchTexts.select("id", "text").as[(String, String)]).toDF("id", "vec"))
+      val batchMentions = mentionsTbl.read().join(batchUrls, Seq("url"), "left_semi")
+      val df = Linker.link(spark, batchMentions, vecsTbl.read(), linkK)
+      val snap = linksTbl.merge(df)
+      lineage.capture("delta_link", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      snap
+    }
+
+    lineage.runStage("delta_docs", pagesSnap) {
+      val t0 = System.nanoTime()
+      val chunks = TextifyStage.renderChunks(spark, gated, labelsTbl.read(), maxTokens = 120)
+      val df = Embedder.embedDataset(
+        chunks.select("doc_id", "text").as[(String, String)]).toDF("doc_id", "vec")
+        .join(chunks, Seq("doc_id"))
+      val snap = docsTbl.merge(df)
+      lineage.capture("delta_docs", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      snap
+    }
+
+    val triplesSnap = lineage.runStage("delta_triples", pagesSnap) {
+      val t0 = System.nanoTime()
+      val df = Triples.fromLines(spark, payloads.map(_.payload),
+        labelsTbl.read().filter(col("lang") === "en").select("id", "label"))
+      val snap = triplesTbl.merge(df)
+      lineage.capture("delta_triples", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      snap
+    }
+
+    // global graph artifacts: extend the edge set with the batch's sameAs
+    // rows, then recompute CC over the (small) edge+node tables — O(graph),
+    // not O(corpus)
+    val canonSnap = lineage.runStage("delta_canon", pagesSnap) {
+      val t0 = System.nanoTime()
+      sameAsTbl.merge(sameAsEdges(payloads))
+      val nodes = labelsTbl.read().filter(col("lang") === "en").select("id")
+      val df = ConnectedComponents.run(spark, sameAsTbl.read(), nodes)
+        .withColumnRenamed("component", "canonical")
+      val snap = canonTbl.merge(df)
+      lineage.capture("delta_canon", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      snap
+    }
+
+    lineage.runStage("delta_materialize", pagesSnap)(materializeStage(canonSnap))
+    payloads.unpersist()
     triplesSnap
   }
 }

@@ -81,9 +81,12 @@ object TextifyStage {
     payloads.flatMap { pp =>
       WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
         val isProp = item.path("type").asText("") == "property"
+        val id = item.path("id").asText()
+        // labelAliases, not normalize: one claims parse per lang would
+        // triple the harvest CPU for data the dimension doesn't store
         dataLangs.map { lang =>
-          val e = WikidataJson.normalize(item, lang)
-          (e.id, lang, e.label, isProp, e.aliases)
+          val (label, al) = WikidataJson.labelAliases(item, lang)
+          (id, lang, label, isProp, al)
         }
       }
     }.toDF("id", "lang", "label", "is_property", "aliases")

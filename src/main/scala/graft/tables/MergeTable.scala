@@ -114,14 +114,16 @@ final class MergeTable(spark: SparkSession, val path: String,
     val touched = incoming.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
     val touchedWithData = touched.filter(oldBuckets.contains)
 
-    val merged =
+    val merged = (
       if (touchedWithData.isEmpty) incoming
       else {
         val oldDirs = touchedWithData.toSeq.map(b => bucketDir(oldBuckets(b), b))
         val old = spark.read.parquet(oldDirs: _*).withColumn("_bucket", bucketExpr)
         val survivors = old.join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
         survivors.unionByName(incoming)
-      }
+      // the anti-join puts join keys first: re-project to the incoming order
+      // so every snapshot's files share one column order
+      }).select(incoming.columns.map(col): _*)
 
     Files.createDirectories(Paths.get(path, "_manifests"))
     // cluster by bucket before the partitioned write: one file per touched
@@ -136,9 +138,11 @@ final class MergeTable(spark: SparkSession, val path: String,
     // referenced, so row counts come from parquet footers); the anti-join plan
     // executes exactly once, in the write job (persisting it instead measured
     // 5× slower on the partitioned write path)
-    val newBucketRows: Map[Int, Long] = spark.read.parquet(s"$path/data/snap-$newSnap")
-      .groupBy("_bucket").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val newBucketRows: Map[Int, Long] =
+      if (touched.isEmpty) Map.empty // empty batch: nothing written, no files to read back
+      else spark.read.parquet(s"$path/data/snap-$newSnap")
+        .groupBy("_bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
     // new manifest: touched buckets point at newSnap, others carry over —
     // including their row counts, so merge I/O stays O(touched data): no

@@ -189,6 +189,77 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(pipe.triplesTbl.read().count() > beforeTriples)
   }
 
+  test("delta ingest == full-recompute ingest (same batch, same final tables)") {
+    // two identical roots, same initial corpus; then the same batch ingested
+    // delta-only vs full-recompute — every table must converge identically
+    // (the batch's new label does not occur in old pages, so the frozen-
+    // dictionary delta contract and the full recompute agree)
+    val small = 60L
+    def freshRoot(): String = {
+      val dir = Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "kgtest-delta-").toString
+      new KgPipeline(spark, dir, nPages = small).run()
+      dir
+    }
+    val fullRoot = freshRoot()
+    val deltaRoot = freshRoot()
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def html(payload: String) =
+      (s"""<html><body><script id="wd-entity" type="application/json">$payload</script></body></html>""")
+        .getBytes("UTF-8")
+    // index 2: no ambiguous alias, no twin sameAs — the batch introduces no
+    // NEW surface occurring in old pages, so the delta contract (dictionary
+    // additions apply to pages processed from now on) and the full recompute
+    // agree; see the ingest doc for the intentional divergence otherwise
+    val newQid = "Q777777"
+    val newPayload = PagesGen.entityJson(2, small, mapper)
+      .replace(PagesGen.qid(2), newQid)
+      .replace(PagesGen.labelOfIndex(2), "Delta Batch Entity")
+    def batch() = Seq(
+      (PagesGen.urlOf(newQid), new java.sql.Timestamp(2100000000000L), html(newPayload), "", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+
+    val full = new KgPipeline(spark, fullRoot, nPages = small)
+    full.ingest(batch(), delta = false)
+    val deltaP = new KgPipeline(spark, deltaRoot, nPages = small)
+    deltaP.ingest(batch(), delta = true)
+
+    def dump(t: graft.tables.MergeTable): Seq[String] = {
+      val df = t.read()
+      df.select(df.columns.sorted.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    assert(dump(deltaP.textsTbl) == dump(full.textsTbl))
+    assert(dump(deltaP.triplesTbl) == dump(full.triplesTbl))
+    assert(dump(deltaP.mentionsTbl) == dump(full.mentionsTbl))
+    assert(dump(deltaP.linksTbl) == dump(full.linksTbl))
+    assert(dump(deltaP.docsTbl) == dump(full.docsTbl))
+    assert(dump(deltaP.canonTbl) == dump(full.canonTbl))
+    assert(dump(deltaP.edgesTbl) == dump(full.edgesTbl))
+    assert(dump(deltaP.idFlagsTbl) == dump(full.idFlagsTbl))
+    // and the delta batch's content actually landed
+    assert(deltaP.textsTbl.read().filter(col("id") === newQid).count() == 1)
+    assert(deltaP.triplesTbl.read().filter(col("qid") === newQid).count() > 0)
+
+    // changed-page delta: the edited page's own rows update in place; other
+    // pages' rows are untouched (links referencing the changed entity refresh
+    // lazily — the documented delta contract)
+    val changedPayload = PagesGen.entityJson(5, small, mapper)
+      .replace("synthetic entity number 5", "DELTA-EDITED entity number 5")
+    val before = dump(deltaP.textsTbl).size
+    deltaP.ingest(Seq(
+      (PagesGen.urlOf(PagesGen.qid(5)), new java.sql.Timestamp(2100000000002L),
+        html(changedPayload), "", "en")).toDF("url", "warc_ts", "html", "text", "lang"),
+      delta = true)
+    val texts = deltaP.textsTbl.read()
+    assert(texts.count() == before) // upsert, not append
+    assert(texts.filter(col("url") === PagesGen.urlOf(PagesGen.qid(5)))
+      .select("text").as[String].collect().head.contains("DELTA-EDITED"))
+    assert(deltaP.triplesTbl.read()
+      .filter(col("qid") === PagesGen.qid(5) && col("item_label").contains("DELTA-EDITED"))
+      .count() > 0)
+  }
+
   test("a killed job resumes exactly: same final tables as an uninterrupted run") {
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "kgtest-resume-").toString
