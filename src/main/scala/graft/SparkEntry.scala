@@ -53,6 +53,9 @@ object SparkEntry {
     // s4 = LSH-bucketed scale path, recall-spec'd against s3.
     "s3_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupExact(s, d, threshold = 0.3)),
     "s4_embedding_neardup_lsh" -> ((s, d) => Similarity.embeddingNearDup(s, d, threshold = 0.3)),
+    // IVF coarse-quantizer ANN: deterministic centroids -> fully
+    // oracle-expressible (recall vs brute force additionally spec'd)
+    "s5_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     // retrieval eval
     "em1_retrieval_metrics" -> ((s, d) => Eval.metrics(s, d)),
     "em2_rerank" -> ((s, d) => Eval.rerank(s, d)),
@@ -316,6 +319,36 @@ object SparkEntry {
          |         ELSE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) END AS cos
          |  FROM nn x JOIN nn y ON x.vec_id < y.vec_id)
          |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "s5_ann_ivf" ->
+      s"""WITH nn AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cn FROM nn WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT n.vec_id, n.embedding, n.nrm, c.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        CASE WHEN n.nrm * c.cn = 0 THEN 0.0
+         |             ELSE ${sqlDot("n.embedding", "c.cvec")} / (n.nrm * c.cn) END DESC,
+         |        c.cell ASC) AS cr
+         |    FROM nn n CROSS JOIN cent c) t WHERE cr = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM nn WHERE vec_id < 10),
+         |probe AS (
+         |  SELECT query_id, qvec, qn, cell FROM (
+         |    SELECT q.query_id, q.qvec, q.qn, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        CASE WHEN q.qn * c.cn = 0 THEN 0.0
+         |             ELSE ${sqlDot("q.qvec", "c.cvec")} / (q.qn * c.cn) END DESC,
+         |        c.cell ASC) AS pr
+         |    FROM q CROSS JOIN cent c) t WHERE pr <= 4),
+         |sc AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CASE WHEN p.qn * a.nrm = 0 THEN 0.0
+         |         ELSE ${sqlDot("p.qvec", "a.embedding")} / (p.qn * a.nrm) END AS cos
+         |  FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id != p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
     "em1_retrieval_metrics" ->
       s"""${retrievalCte()},
          |pq AS (

@@ -102,6 +102,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: assign every
+    * vector to its nearest of C centroids (one narrow pass), store cell id;
+    * a query probes only its nProbe nearest cells and re-ranks exactly inside
+    * them. Candidate volume drops from |corpus| to ~|corpus|·nProbe/C per
+    * query, and the cell id is a shuffle/bucket key at 100 TB.
+    *
+    * Centroids are DETERMINISTIC — the first `nCells` vectors by vec_id
+    * (reservoir/k-means would need training passes; a fixed seed set keeps
+    * the operator reproducible AND DuckDB-oracle-expressible, which is the
+    * verification point; swapping in trained centroids changes recall, not
+    * plan shape). Assignment ties break on the lower cell id.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = emb(spark, dir).withColumn("_n", norm(col("embedding")))
+    val centroids = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"), col("_n").as("_cn"))
+
+    // cell assignment: rank centroids per vector by cosine, keep the top one
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("_ccos"), asc("cell"))
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("embedding"), col("_n"), col("label"), col("cell"),
+        cosineWithNorms(col("embedding"), col("cvec"), col("_n"), col("_cn")).as("_ccos"))
+      .withColumn("_cr", row_number().over(wAssign))
+      .filter(col("_cr") === 1)
+      .select(col("vec_id"), col("embedding"), col("_n"), col("cell"))
+
+    // queries probe their nProbe nearest cells
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("_n").as("_qn"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("_ccos"), asc("cell"))
+    val probes = queries.join(broadcast(centroids), lit(true))
+      .select(col("query_id"), col("qvec"), col("_qn"), col("cell"),
+        cosineWithNorms(col("qvec"), col("cvec"), col("_qn"), col("_cn")).as("_ccos"))
+      .withColumn("_pr", row_number().over(wProbe))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("_qn"), col("cell"))
+
+    // exact re-rank inside the probed cells only
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineWithNorms(col("qvec"), col("embedding"), col("_qn"), col("_n")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: every (a, b) with a < b and
     * cosine ≥ threshold. All-pairs by construction — the DuckDB-oracle-exact
     * verification baseline and the right call while one side fits broadcast;

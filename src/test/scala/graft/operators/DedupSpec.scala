@@ -69,8 +69,9 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("embedding near-dup flags planted copies via LSH buckets") {
-    // embed planted docs and store as an embeddings table in the same dir
+  // embed planted docs and store as an embeddings table in the same dir
+  // (lazy: shared by every ANN/near-dup test, order-independent)
+  private lazy val withEmbeddings: String = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
     val rows = docs.map { case (id, t) =>
@@ -79,18 +80,32 @@ class DedupSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding", "label")
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val got = Similarity.embeddingNearDup(spark, dir, threshold = 0.999, dimLen = 32)
+    dir
+  }
+
+  test("embedding near-dup flags planted copies via LSH buckets") {
+    val got = Similarity.embeddingNearDup(spark, withEmbeddings, threshold = 0.999, dimLen = 32)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(plantedExact.subsetOf(got), s"embedding neardup missed: ${plantedExact -- got}")
   }
 
   test("LSH ANN achieves high recall vs brute force on the planted table") {
-    val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 5)
+    val brute = Similarity.bruteForceTopK(spark, withEmbeddings, nQueries = 10, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.lshTopK(spark, dir, nQueries = 10, k = 5, bits = 6, tables = 6, dimLen = 32)
+    val lsh = Similarity.lshTopK(spark, withEmbeddings, nQueries = 10, k = 5, bits = 6, tables = 6, dimLen = 32)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     info(f"LSH recall vs brute force: $recall%.3f")
     assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+
+  test("IVF ANN: probed-cell candidates give high recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(spark, withEmbeddings, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, withEmbeddings, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 vs brute force: $recall%.3f")
+    assert(recall >= 0.5, f"IVF recall too low: $recall%.3f") // 4/16 cells probed
   }
 }
