@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Connected components over alias/sameAs edges as iterative DataFrame
-  * self-joins — small-label propagation (SURVEY.md §4, north_star
-  * "canonicalization"). No GraphX: plain Dataset ops so AQE/skew handling
-  * apply.
+  * self-joins — small-label propagation with pointer jumping (SURVEY.md §4,
+  * north_star "canonicalization"). No GraphX: plain Dataset ops so AQE/skew
+  * handling apply.
   *
   * Algorithm: every node starts with component = its own id; each round a
-  * node adopts min(component of itself, components of its neighbors); stop
-  * when no assignment changed. Rounds ≤ graph diameter; each round is one
-  * shuffle join on node id.
+  * node adopts min(component of itself, components of its neighbors), then
+  * POINTER-JUMPS: component(u) := component(component(u)). Labels are node
+  * ids, so the jump is one more self-join, and it doubles the effective
+  * propagation distance per round — convergence in O(log diameter) rounds
+  * instead of O(diameter), which is what keeps chain-heavy graphs (paths of
+  * redirects/sameAs hops) inside any fixed round budget at web scale.
+  * Stop when no assignment changed.
   *
   * Scale notes:
   *  - edges are symmetrized once up front;
@@ -57,11 +61,22 @@ object ConnectedComponents {
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nmin"))
 
-      val next = labels
+      val stepped = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
           (col("nmin").isNotNull && col("nmin") < col("component")).as("_changed"))
+
+      // pointer jump: component(u) := component(component(u)) — component
+      // values are node ids, so one more equi-join halves the remaining
+      // chain length every round
+      val parents = stepped.select(col("id").as("_pid"), col("component").as("_pcomp"))
+      val next = stepped
+        .join(parents, stepped("component") === col("_pid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_pcomp"), col("component"))).as("component"),
+          (col("_changed") ||
+            (col("_pcomp").isNotNull && col("_pcomp") < col("component"))).as("_changed"))
         .localCheckpoint(true) // truncate lineage: plans must not compound
 
       changed = next.filter(col("_changed")).count()

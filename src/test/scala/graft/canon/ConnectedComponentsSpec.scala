@@ -22,6 +22,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       "x" -> "x", "y" -> "x", "p" -> "p", "q" -> "p", "solo" -> "solo"))
   }
 
+  test("pointer jumping: a 300-hop chain converges inside the default 50-round budget") {
+    // plain min-label propagation needs diameter rounds (300 > 50 would
+    // throw the non-convergence guard); pointer jumping needs O(log d)
+    val n = 300
+    val nodes = (0 to n).map(i => f"q$i%04d")
+    val edges = (0 until n).map(i => (nodes(i), nodes(i + 1)))
+    val got = cc(edges, nodes)
+    assert(got.values.toSet == Set(nodes.head), "chain must collapse to the min id")
+  }
+
   test("property: result invariant under edge permutation and direction (seeded fuzz)") {
     val rnd = new java.util.Random(7)
     (0 until 5).foreach { _ =>
