@@ -43,27 +43,51 @@ object KeywordSearch {
     (withLen, stats, avgdl)
   }
 
-  /** Match-or BM25 top-K for a set of queries (query_id, query_text). */
-  def search(spark: SparkSession, docs: DataFrame, queries: Seq[(Long, String)],
-             k: Int = 10): DataFrame = {
-    import spark.implicits._
+  /** A built, reusable index: postings/stats persisted so every subsequent
+    * query batch pays only its own broadcast semi-join — the serving shape
+    * (the reference keeps its index inside Elasticsearch for the same
+    * reason; at 100 TB the persisted frames would be bucketed tables keyed
+    * by term instead).
+    */
+  final class Index private[KeywordSearch] (val postings: DataFrame, val stats: DataFrame,
+                                            val avgdl: Double) {
+    def search(spark: SparkSession, queries: Seq[(Long, String)], k: Int = 10): DataFrame =
+      KeywordSearch.searchIndexed(spark, this, queries, k)
+    def unpersist(): Unit = { postings.unpersist(); stats.unpersist() }
+  }
+
+  /** Build once, query many times. */
+  def index(spark: SparkSession, docs: DataFrame): Index = {
     val (postings, stats, avgdl) = buildIndex(spark, docs)
+    new Index(postings.persist(), stats.persist(), avgdl)
+  }
+
+  private def searchIndexed(spark: SparkSession, idx: Index,
+                            queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import spark.implicits._
     val queryTerms = queries
       .flatMap { case (qid, q) =>
         q.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.map(t => (qid, t))
       }.toDF("query_id", "term")
 
-    val scored = postings
+    val scored = idx.postings
       .join(broadcast(queryTerms), Seq("term"))
-      .join(broadcast(stats), Seq("term"))
+      .join(broadcast(idx.stats), Seq("term"))
       .withColumn("bm25",
         col("idf") * (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(idx.avgdl))))
       .groupBy("query_id", "doc_id")
       .agg(round(sum("bm25"), 6).as("score"), count(lit(1)).as("n_matched_terms"))
 
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Match-or BM25 top-K for a set of queries (query_id, query_text). */
+  def search(spark: SparkSession, docs: DataFrame, queries: Seq[(Long, String)],
+             k: Int = 10): DataFrame = {
+    val (postings, stats, avgdl) = buildIndex(spark, docs)
+    searchIndexed(spark, new Index(postings, stats, avgdl), queries, k)
   }
 
   /** queries() entry: deterministic query set over the documents table. */

@@ -80,4 +80,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("kw1_keyword_search")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
+
+  test("s5: IVF probes broadcast; corpus side stays a single scan per stage") {
+    val p = planOf("s5_ann_ivf")
+    assert(p.contains("graft_fdot"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), "IVF must not plan a cartesian product")
+  }
 }

@@ -34,6 +34,28 @@ class SearchCacheSpec extends AnyFunSuite {
     assert(r.head == 100L)
   }
 
+  test("BM25 persisted index: repeated query batches reuse it and match one-shot search") {
+    val docs = Seq(
+      (1L, "spark window aggregation over streams"),
+      (2L, "the cat sat on the mat"),
+      (3L, "window shopping in the rain"),
+      (4L, "spark spark spark window window batch")).toDF("doc_id", "text")
+    val idx = KeywordSearch.index(spark, docs)
+    try {
+      for (q <- Seq("spark window", "cat mat", "rain")) {
+        val viaIndex = idx.search(spark, Seq((1L, q)), k = 3)
+          .collect().map(_.toString).sorted.toSeq
+        val oneShot = KeywordSearch.search(spark, docs, Seq((1L, q)), k = 3)
+          .collect().map(_.toString).sorted.toSeq
+        assert(viaIndex == oneShot, s"query '$q'")
+      }
+      // the index frames are cached: the scan shows up as a cache read
+      val plan = idx.search(spark, Seq((1L, "spark")), k = 3).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"), plan.take(1500))
+    } finally idx.unpersist()
+  }
+
   test("embedding cache: second pass is all hits, results identical") {
     val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "cache-").toString
     val cache = new EmbeddingCache(spark, new MergeTable(spark, s"$dir/t", Seq("text_key")))
