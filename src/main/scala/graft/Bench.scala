@@ -32,7 +32,12 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       timeOnce(fn) // warm-up: JIT + codegen compile
-      name -> timeOnce(fn)
+      val t = name -> timeOnce(fn)
+      // operators persist shared frames (posting lists, texts) that their
+      // lazy results can't unpersist — clear between queries so a long
+      // session's block manager doesn't accumulate one cache per query
+      spark.catalog.clearCache()
+      t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -66,6 +66,8 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
           (col("nmin").isNotNull && col("nmin") < col("component")).as("_changed"))
+        .localCheckpoint(true) // both jump-join sides read it: never run the
+                               // neighbor-min shuffle twice per round
 
       // pointer jump: component(u) := component(component(u)) — component
       // values are node ids, so one more equi-join halves the remaining

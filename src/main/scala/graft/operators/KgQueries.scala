@@ -106,15 +106,33 @@ object KgQueries {
   /** KG corpus stats (A1, ref notebooks/Get_Wikidata_Stats.py:100-371):
     * per-PID claim counts, per-P31-class instance counts, per-site sitelink
     * counts — explode + groupBy/count, partial aggregation for free.
+    *
+    * Counting runs over the DB-cleaned claims of EVERY item (type ==
+    * statement, deprecated dropped — the reference's stats walk the stored
+    * `wikidata` table), NOT over the statement-extractor rows: those gate on
+    * `descriptions[lang]` and drop novalue/somalue claims, which would
+    * silently undercount entities the extractor skips.
     */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val claimRows = payloads(spark)
-      .flatMap(pp => WikidataJson.parseLine(pp.payload).toSeq.flatMap(WikidataJson.toClaimRows(_, "en")))
+    val claimRows = payloads(spark).flatMap { pp =>
+      WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
+        WikidataJson.normalize(item, "en").claims.flatMap { cg =>
+          cg.claims.map { c =>
+            val qv =
+              if (c.mainsnak.datatype == "wikibase-item" && c.mainsnak.valueJson != null) {
+                val n = WikidataJson.mapper.readTree(c.mainsnak.valueJson)
+                if (n.has("id")) n.get("id").asText() else null
+              } else null
+            (cg.pid, qv)
+          }
+        }
+      }
+    }.toDF("pid", "value_qid")
     val perPid = claimRows.groupBy(col("pid").as("key"))
       .agg(count(lit(1)).as("n")).withColumn("stat", lit("claims_per_pid"))
-    val perClass = claimRows.filter(col("pid") === "P31" && col("isQidValue"))
-      .groupBy(col("valueScalar").as("key"))
+    val perClass = claimRows.filter(col("pid") === "P31" && col("value_qid").isNotNull)
+      .groupBy(col("value_qid").as("key"))
       .agg(count(lit(1)).as("n")).withColumn("stat", lit("instances_per_class"))
     val perSite = payloads(spark).flatMap { pp =>
       WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>

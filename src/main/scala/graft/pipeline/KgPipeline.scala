@@ -28,15 +28,30 @@ final class KgPipeline(spark: SparkSession, root: String,
   import spark.implicits._
 
   val pagesTbl = new MergeTable(spark, s"$root/pages", Seq("url"))
+  // NOTE: keyed (id, lang) since the per-language label dimension landed —
+  // a `labels` table written by the earlier id-keyed layout is NOT readable
+  // in place (different bucket hashing + schema); point the pipeline at a
+  // fresh root rather than an old one
   val labelsTbl = new MergeTable(spark, s"$root/labels", Seq("id", "lang"))
   val idFlagsTbl = new MergeTable(spark, s"$root/id_flags", Seq("id"))
-  val textsTbl = new MergeTable(spark, s"$root/texts", Seq("url"))
-  val mentionsTbl = new MergeTable(spark, s"$root/mentions", Seq("url", "begin", "qid"))
-  val linksTbl = new MergeTable(spark, s"$root/links", Seq("url", "begin", "rank"))
-  val triplesTbl = new MergeTable(spark, s"$root/triples", Seq("uuid"))
-  val docsTbl = new MergeTable(spark, s"$root/docs", Seq("doc_id"))
-  val vecsTbl = new MergeTable(spark, s"$root/entity_vecs", Seq("id"))
-  val sameAsTbl = new MergeTable(spark, s"$root/sameas", Seq("src", "dst"))
+  // per-page tables are SCOPED by their page: re-processing a page REPLACES
+  // all of its rows, so outputs that shrink (fewer mentions/chunks/triples
+  // after an edit) shed their stale rows instead of merging around them
+  val textsTbl = new MergeTable(spark, s"$root/texts", Seq("url"),
+    scopeCols = Some(Seq("url")))
+  val mentionsTbl = new MergeTable(spark, s"$root/mentions", Seq("url", "begin", "qid"),
+    scopeCols = Some(Seq("url")))
+  val linksTbl = new MergeTable(spark, s"$root/links", Seq("url", "begin", "rank"),
+    scopeCols = Some(Seq("url")))
+  val triplesTbl = new MergeTable(spark, s"$root/triples", Seq("uuid"),
+    scopeCols = Some(Seq("qid")))
+  val docsTbl = new MergeTable(spark, s"$root/docs", Seq("doc_id"),
+    scopeCols = Some(Seq("qid")))
+  val vecsTbl = new MergeTable(spark, s"$root/entity_vecs", Seq("id"),
+    scopeCols = Some(Seq("id")))
+  val sameAsTbl = new MergeTable(spark, s"$root/sameas", Seq("src", "dst"),
+    scopeCols = Some(Seq("src")))
+  // derived global artifacts are recomputed wholesale -> replace, not merge
   val canonTbl = new MergeTable(spark, s"$root/canon", Seq("id"))
   val nodesTbl = new MergeTable(spark, s"$root/nodes", Seq("id"))
   val edgesTbl = new MergeTable(spark, s"$root/edges", Seq("src", "dst", "kind"))
@@ -119,7 +134,7 @@ final class KgPipeline(spark: SparkSession, root: String,
     val textsSnap = lineage.runStage("textify", labelsSnap) {
       val t0 = System.nanoTime()
       val df = TextifyStage.render(spark, gatedPayloads, labelsTbl.read())
-      val snap = textsTbl.merge(df)
+      val snap = textsTbl.mergeScoped(df, urlScope(pagesTbl.read()))
       lineage.capture("textify", labelsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
@@ -132,7 +147,7 @@ final class KgPipeline(spark: SparkSession, root: String,
     val mentionsSnap = lineage.runStage("mentions", textsSnap) {
       val t0 = System.nanoTime()
       val df = Linker.mentionsSharded(spark, textsTbl.read(), mentionDict())
-      val snap = mentionsTbl.merge(df)
+      val snap = mentionsTbl.mergeScoped(df, urlScope(pagesTbl.read()))
       lineage.capture("mentions", textsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
@@ -144,10 +159,11 @@ final class KgPipeline(spark: SparkSession, root: String,
     val linksSnap = lineage.runStage("link", mentionsSnap) {
       val t0 = System.nanoTime()
       val texts = textsTbl.read()
-      vecsTbl.merge(Embedder.embedDataset(
-        texts.select("id", "text").as[(String, String)]).toDF("id", "vec"))
+      vecsTbl.mergeScoped(Embedder.embedDataset(
+        texts.select("id", "text").as[(String, String)]).toDF("id", "vec"),
+        idScope(pagesTbl.read(), "id"))
       val df = Linker.link(spark, mentionsTbl.read(), vecsTbl.read(), linkK)
-      val snap = linksTbl.merge(df)
+      val snap = linksTbl.mergeScoped(df, urlScope(pagesTbl.read()))
       lineage.capture("link", mentionsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
@@ -165,7 +181,7 @@ final class KgPipeline(spark: SparkSession, root: String,
       val df = Embedder.embedDataset(
         chunks.select("doc_id", "text").as[(String, String)]).toDF("doc_id", "vec")
         .join(chunks, Seq("doc_id"))
-      val snap = docsTbl.merge(df)
+      val snap = docsTbl.mergeScoped(df, idScope(pagesTbl.read(), "qid"))
       lineage.capture("docs", textsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
@@ -176,7 +192,7 @@ final class KgPipeline(spark: SparkSession, root: String,
       val t0 = System.nanoTime()
       val df = Triples.fromLines(spark, payloads.map(_.payload),
         labelsTbl.read().filter(col("lang") === "en").select("id", "label"))
-      val snap = triplesTbl.merge(df)
+      val snap = triplesTbl.mergeScoped(df, idScope(pagesTbl.read(), "qid"))
       lineage.capture("triples", labelsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
@@ -187,11 +203,11 @@ final class KgPipeline(spark: SparkSession, root: String,
     // the edge set without re-parsing the corpus.
     val canonSnap = lineage.runStage("canon", triplesSnap) {
       val t0 = System.nanoTime()
-      sameAsTbl.merge(sameAsEdges(payloads))
+      sameAsTbl.mergeScoped(sameAsEdges(payloads), idScope(pagesTbl.read(), "src"))
       val nodes = labelsTbl.read().filter(col("lang") === "en").select("id")
       val df = ConnectedComponents.run(spark, sameAsTbl.read(), nodes)
         .withColumnRenamed("component", "canonical")
-      val snap = canonTbl.merge(df)
+      val snap = canonTbl.replace(df)
       lineage.capture("canon", triplesSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
@@ -214,7 +230,7 @@ final class KgPipeline(spark: SparkSession, root: String,
       .join(canon, Seq("id"), "left")
       .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"),
         col("label"), col("is_property"))
-    nodesTbl.merge(nodes)
+    nodesTbl.replace(nodes)
 
     val linkEdges = linksTbl.read().filter(col("rank") === 1)
       .join(textsTbl.read().select(col("url"), col("id").as("src")), Seq("url"))
@@ -231,7 +247,7 @@ final class KgPipeline(spark: SparkSession, root: String,
         col("kind"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val snap = edgesTbl.merge(edges)
+    val snap = edgesTbl.replace(edges)
     lineage.capture("materialize", canonSnap, edges, (System.nanoTime() - t0) / 1000000)
     snap
   }
@@ -248,6 +264,15 @@ final class KgPipeline(spark: SparkSession, root: String,
       .joinWith(inWiki, substring_index(payloads("url"), "/", -1) === col("_gid"), "inner")
       .map(_._1)
   }
+
+  /** Processed-scope frames: EVERY page in `pages` counts as processed, so
+    * a scope-replace merge deletes rows of pages that yielded nothing this
+    * time (gated out, unparseable, or simply shrunken output). The id is the
+    * url's trailing segment per the pages contract.
+    */
+  private def urlScope(pages: DataFrame): DataFrame = pages.select(col("url"))
+  private def idScope(pages: DataFrame, as: String): DataFrame =
+    pages.select(substring_index(col("url"), "/", -1).as(as))
 
   /** (surface → candidate ids) for the mention trie, from the en label dim. */
   private def mentionDict(): DataFrame =
@@ -288,7 +313,8 @@ final class KgPipeline(spark: SparkSession, root: String,
         .toDF("id", "in_wikipedia", "is_property")
       // S7 OR-merge across batches: fold in the existing flags of just the
       // touched ids (semi-join), so a true flag never regresses to false
-      val existing = idFlagsTbl.read()
+      // (readOrEmpty: a delta ingest may be the root's first-ever operation)
+      val existing = idFlagsTbl.readOrEmpty(batchFlags)
         .join(batchFlags.select("id").distinct(), Seq("id"), "left_semi")
       val df = batchFlags.unionByName(existing)
         .groupBy("id")
@@ -303,7 +329,7 @@ final class KgPipeline(spark: SparkSession, root: String,
     lineage.runStage("delta_textify", pagesSnap) {
       val t0 = System.nanoTime()
       val df = TextifyStage.render(spark, gated, labelsTbl.read())
-      val snap = textsTbl.merge(df)
+      val snap = textsTbl.mergeScoped(df, urlScope(newPages))
       lineage.capture("delta_textify", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
@@ -313,18 +339,19 @@ final class KgPipeline(spark: SparkSession, root: String,
     lineage.runStage("delta_mentions", pagesSnap) {
       val t0 = System.nanoTime()
       val df = Linker.mentionsSharded(spark, batchTexts, mentionDict())
-      val snap = mentionsTbl.merge(df)
+      val snap = mentionsTbl.mergeScoped(df, urlScope(newPages))
       lineage.capture("delta_mentions", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
 
     lineage.runStage("delta_link", pagesSnap) {
       val t0 = System.nanoTime()
-      vecsTbl.merge(Embedder.embedDataset(
-        batchTexts.select("id", "text").as[(String, String)]).toDF("id", "vec"))
+      vecsTbl.mergeScoped(Embedder.embedDataset(
+        batchTexts.select("id", "text").as[(String, String)]).toDF("id", "vec"),
+        idScope(newPages, "id"))
       val batchMentions = mentionsTbl.read().join(batchUrls, Seq("url"), "left_semi")
       val df = Linker.link(spark, batchMentions, vecsTbl.read(), linkK)
-      val snap = linksTbl.merge(df)
+      val snap = linksTbl.mergeScoped(df, urlScope(newPages))
       lineage.capture("delta_link", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
@@ -335,7 +362,7 @@ final class KgPipeline(spark: SparkSession, root: String,
       val df = Embedder.embedDataset(
         chunks.select("doc_id", "text").as[(String, String)]).toDF("doc_id", "vec")
         .join(chunks, Seq("doc_id"))
-      val snap = docsTbl.merge(df)
+      val snap = docsTbl.mergeScoped(df, idScope(newPages, "qid"))
       lineage.capture("delta_docs", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
@@ -344,7 +371,7 @@ final class KgPipeline(spark: SparkSession, root: String,
       val t0 = System.nanoTime()
       val df = Triples.fromLines(spark, payloads.map(_.payload),
         labelsTbl.read().filter(col("lang") === "en").select("id", "label"))
-      val snap = triplesTbl.merge(df)
+      val snap = triplesTbl.mergeScoped(df, idScope(newPages, "qid"))
       lineage.capture("delta_triples", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }
@@ -354,11 +381,11 @@ final class KgPipeline(spark: SparkSession, root: String,
     // not O(corpus)
     val canonSnap = lineage.runStage("delta_canon", pagesSnap) {
       val t0 = System.nanoTime()
-      sameAsTbl.merge(sameAsEdges(payloads))
+      sameAsTbl.mergeScoped(sameAsEdges(payloads), idScope(newPages, "src"))
       val nodes = labelsTbl.read().filter(col("lang") === "en").select("id")
       val df = ConnectedComponents.run(spark, sameAsTbl.read(), nodes)
         .withColumnRenamed("component", "canonical")
-      val snap = canonTbl.merge(df)
+      val snap = canonTbl.replace(df)
       lineage.capture("delta_canon", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
     }

@@ -27,8 +27,16 @@ import scala.jdk.CollectionConverters._
   * deterministic `_id = qid_lang_chunk`, src/wikidataDB.py:46-76,
   * docker/3_Add_Wikidata_to_AstraDB/run.py:88).
   */
+/** @param scopeCols when set, the table supports SCOPE-REPLACE merges: a
+  *   merge deletes every old row whose scope appears in the batch unless the
+  *   batch re-emits it (a changed web page whose output SHRANK must shed its
+  *   stale mentions/chunks/triples — MERGE-only upserts cannot delete).
+  *   Buckets hash by scope, so a scope's rows co-locate and replacing it
+  *   touches only its own buckets.
+  */
 final class MergeTable(spark: SparkSession, val path: String,
-                       val keyCols: Seq[String], val numBuckets: Int = 32) {
+                       val keyCols: Seq[String], val numBuckets: Int = 32,
+                       val scopeCols: Option[Seq[String]] = None) {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -58,7 +66,8 @@ final class MergeTable(spark: SparkSession, val path: String,
   private def bucketDir(snap: Long, bucket: Int): String =
     s"$path/data/snap-$snap/_bucket=$bucket"
 
-  private def bucketExpr = pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)).cast("int")
+  private def bucketCols: Seq[String] = scopeCols.getOrElse(keyCols)
+  private def bucketExpr = pmod(xxhash64(bucketCols.map(col): _*), lit(numBuckets)).cast("int")
 
   /** Current table contents (without the internal bucket column). */
   def read(): DataFrame = currentSnapshot match {
@@ -96,9 +105,44 @@ final class MergeTable(spark: SparkSession, val path: String,
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema)
 
   /** MERGE: upsert `df` by key. New rows win over old rows with the same key.
-    * Returns the new snapshot id.
+    * On a scoped table, additionally deletes old rows of every scope PRESENT
+    * IN `df` that the batch does not re-emit. Returns the new snapshot id.
     */
-  def merge(df: DataFrame): Long = {
+  def merge(df: DataFrame): Long =
+    mergeInternal(df, scopeCols.map(sc => df.select(sc.map(col): _*).distinct()))
+
+  /** Scope-replace MERGE with an EXPLICIT processed-scope set: every scope in
+    * `scopes` is replaced by its rows in `df` — including scopes that yield
+    * ZERO rows this time (a re-processed page whose mentions/chunks/triples
+    * all disappeared must still shed its old rows). `scopes` must contain the
+    * table's scopeCols.
+    */
+  def mergeScoped(df: DataFrame, scopes: DataFrame): Long = {
+    require(scopeCols.nonEmpty, s"table $path has no scopeCols")
+    mergeInternal(df, Some(scopes.select(scopeCols.get.map(col): _*).distinct()))
+  }
+
+  /** Full-table REPLACE: the new snapshot contains exactly `df` (derived
+    * global artifacts — canon/nodes/edges — are recomputed wholesale, so
+    * rows absent from the recompute must not survive).
+    */
+  def replace(df: DataFrame): Long = {
+    val newSnap = currentSnapshot.getOrElse(0L) + 1
+    val parent = currentSnapshot.getOrElse(0L)
+    val incoming = df.dropDuplicates(keyCols).withColumn("_bucket", bucketExpr)
+    Files.createDirectories(Paths.get(path, "_manifests"))
+    incoming.repartition(col("_bucket")).write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$path/data/snap-$newSnap")
+    val newBucketRows: Map[Int, Long] =
+      if (!snapHasBuckets(newSnap)) Map.empty // empty frame: only _SUCCESS written
+      else spark.read.parquet(s"$path/data/snap-$newSnap").groupBy("_bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    writeManifest(newSnap, parent, newBucketRows.keys.map(_ -> newSnap).toMap, newBucketRows)
+    commitCurrent(newSnap)
+    newSnap
+  }
+
+  private def mergeInternal(df: DataFrame, scopes: Option[DataFrame]): Long = {
     val newSnap = currentSnapshot.getOrElse(0L) + 1
     val incoming = df.dropDuplicates(keyCols).withColumn("_bucket", bucketExpr)
 
@@ -110,8 +154,12 @@ final class MergeTable(spark: SparkSession, val path: String,
         case None => (Map.empty[Int, Long], 0L, Map.empty[Int, Long])
       }
 
-    // buckets touched by this batch
-    val touched = incoming.select("_bucket").distinct().collect().map(_.getInt(0)).toSet
+    // buckets touched by this batch: from the processed SCOPES when given
+    // (a scope may have zero incoming rows but still demand a rewrite),
+    // else from the incoming rows
+    val touched = scopes.getOrElse(incoming)
+      .withColumn("_bucket", bucketExpr)
+      .select("_bucket").distinct().collect().map(_.getInt(0)).toSet
     val touchedWithData = touched.filter(oldBuckets.contains)
 
     val merged = (
@@ -119,7 +167,11 @@ final class MergeTable(spark: SparkSession, val path: String,
       else {
         val oldDirs = touchedWithData.toSeq.map(b => bucketDir(oldBuckets(b), b))
         val old = spark.read.parquet(oldDirs: _*).withColumn("_bucket", bucketExpr)
-        val survivors = old.join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
+        // key-anti for plain upsert; scope-anti replaces whole scopes
+        val survivors = scopes match {
+          case Some(s) => old.join(s, scopeCols.get, "left_anti")
+          case None    => old.join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
+        }
         survivors.unionByName(incoming)
       // the anti-join puts join keys first: re-project to the incoming order
       // so every snapshot's files share one column order
@@ -139,38 +191,58 @@ final class MergeTable(spark: SparkSession, val path: String,
     // executes exactly once, in the write job (persisting it instead measured
     // 5× slower on the partitioned write path)
     val newBucketRows: Map[Int, Long] =
-      if (touched.isEmpty) Map.empty // empty batch: nothing written, no files to read back
+      if (touched.isEmpty || !snapHasBuckets(newSnap)) Map.empty // nothing (re-)emitted
       else spark.read.parquet(s"$path/data/snap-$newSnap")
         .groupBy("_bucket").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    // new manifest: touched buckets point at newSnap, others carry over —
-    // including their row counts, so merge I/O stays O(touched data): no
-    // untouched bucket is ever re-read just to recount it. (Pre-upgrade
-    // manifests without bucketRows pay one legacy recount, then carry.)
-    val newBuckets = oldBuckets ++ touched.map(_ -> newSnap).toMap
+    // new manifest: touched buckets point at newSnap (dropped entirely when
+    // a scope-replace deleted their last row), others carry over — including
+    // their row counts, so merge I/O stays O(touched data): no untouched
+    // bucket is ever re-read just to recount it. (Pre-upgrade manifests
+    // without bucketRows pay one legacy recount, then carry.)
     val untouched = oldBuckets.keySet -- touched
+    val newBuckets = oldBuckets.view.filterKeys(untouched.contains).toMap ++
+      newBucketRows.keys.map(_ -> newSnap)
     val untouchedRows: Map[Int, Long] =
       if (untouched.forall(oldBucketRows.contains)) untouched.map(b => b -> oldBucketRows(b)).toMap
       else untouched.toSeq.map { b =>
         val d = bucketDir(oldBuckets(b), b)
         b -> (if (Files.exists(Paths.get(d))) spark.read.parquet(d).count() else 0L)
       }.toMap
-    val allBucketRows = untouchedRows ++ newBucketRows
-    val rowCount = allBucketRows.values.sum
+    writeManifest(newSnap, parent, newBuckets, untouchedRows ++ newBucketRows)
+    commitCurrent(newSnap)
+    newSnap
+  }
+
+  private def writeManifest(newSnap: Long, parent: Long,
+                            buckets: Map[Int, Long], bucketRows: Map[Int, Long]): Unit = {
     def intMapJson(m: Map[Int, Long]): String = m.toSeq.sortBy(_._1)
       .map { case (b, s) => s""""$b": $s""" }.mkString("{", ", ", "}")
     val json =
-      s"""{"snapshotId": $newSnap, "parent": $parent, "rowCount": $rowCount,
-         | "createdMs": ${System.currentTimeMillis()}, "buckets": ${intMapJson(newBuckets)},
-         | "bucketRows": ${intMapJson(allBucketRows)}}""".stripMargin
+      s"""{"snapshotId": $newSnap, "parent": $parent, "rowCount": ${bucketRows.values.sum},
+         | "createdMs": ${System.currentTimeMillis()}, "buckets": ${intMapJson(buckets)},
+         | "bucketRows": ${intMapJson(bucketRows)}}""".stripMargin
     Files.writeString(manifestFile(newSnap), json)
+  }
 
-    // atomic-ish current pointer flip
+  /** Whether a written snapshot dir contains any bucket partition (an empty
+    * frame's write leaves only _SUCCESS — unreadable as parquet).
+    */
+  private def snapHasBuckets(snap: Long): Boolean = {
+    val dir = Paths.get(path, s"data/snap-$snap")
+    Files.exists(dir) && {
+      val st = Files.list(dir)
+      try st.anyMatch(p => p.getFileName.toString.startsWith("_bucket="))
+      finally st.close()
+    }
+  }
+
+  /** Atomic-ish current pointer flip. */
+  private def commitCurrent(newSnap: Long): Unit = {
     val tmp = Paths.get(path, s"_current.tmp")
     Files.writeString(tmp, newSnap.toString)
     Files.move(tmp, currentFile, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    newSnap
   }
 }

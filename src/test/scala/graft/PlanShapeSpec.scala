@@ -58,12 +58,13 @@ class PlanShapeSpec extends AnyFunSuite {
   test("em3: candidate metadata filter sits in the broadcast join condition, not post-scoring") {
     val p = planOf("em3_filtered_retrieval")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
-    // the label predicate must be part of the join, so cosine never runs on
-    // filtered-out candidates: no Filter node containing the cosine expr
-    // above the join feeds from an unfiltered join output
-    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
-    val joinLine = p.substring(joinIdx, p.indexOf('\n', joinIdx).max(joinIdx))
-    assert(p.substring(joinIdx).contains("query_label"), "label predicate not in join section")
+    // the label predicate must be part of the JOIN CONDITION itself, so
+    // cosine never runs on filtered-out candidates — assert on the join's
+    // detail line, not anywhere downstream of it
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join condition:") && l.contains("query_label")),
+      "label predicate not in the join condition:\n" +
+        p.linesIterator.filter(_.contains("Join condition:")).mkString("\n"))
   }
 
   test("dd3: capped posting list is computed once and cached for join sides + sizes") {

@@ -24,9 +24,10 @@ class KgQueriesSpec extends AnyFunSuite {
     Seq("P1082", "P17", "P361", "P571", "P1448").foreach { pid =>
       assert(stats(("claims_per_pid", pid)) == n, pid)
     }
-    // P31: one normal each + preferred for i%7==0 + deprecated for i%13==0
-    // (claim rows follow the statement extractor, which does NOT rank-filter)
-    val p31 = n + (0L until n).count(_ % 7 == 0) + (0L until n).count(_ % 13 == 0)
+    // P31: one normal each + preferred for i%7==0; deprecated (i%13==0)
+    // dropped — stats walk the DB-cleaned claims, like the reference's
+    // stats notebook over the stored wikidata table
+    val p31 = n + (0L until n).count(_ % 7 == 0)
     assert(stats(("claims_per_pid", "P31")) == p31)
     // sameAs twin edges
     assert(stats(("claims_per_pid", PagesGen.sameAsPid)) == (0L until n).count(_ % 12 == 1))

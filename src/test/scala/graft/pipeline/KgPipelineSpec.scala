@@ -258,6 +258,29 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(deltaP.triplesTbl.read()
       .filter(col("qid") === PagesGen.qid(5) && col("item_label").contains("DELTA-EDITED"))
       .count() > 0)
+
+    // shrink scenario: page 9 re-ingested with ALL claims removed — its old
+    // triples must disappear (scope-replace, not merge-around), its mentions
+    // must re-derive from the new shorter text, and its docs shrink
+    val shrunkPayload = {
+      val node = graft.model.WikidataJson.parseLine(PagesGen.entityJson(9, small, mapper)).get
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.set("claims", mapper.createObjectNode())
+      mapper.writeValueAsString(node)
+    }
+    assert(deltaP.triplesTbl.read().filter(col("qid") === PagesGen.qid(9)).count() > 0)
+    deltaP.ingest(Seq(
+      (PagesGen.urlOf(PagesGen.qid(9)), new java.sql.Timestamp(2100000000003L),
+        html(shrunkPayload), "", "en")).toDF("url", "warc_ts", "html", "text", "lang"),
+      delta = true)
+    assert(deltaP.triplesTbl.read().filter(col("qid") === PagesGen.qid(9)).count() == 0,
+      "stale triples must be deleted when the page's claims disappear")
+    val newText = deltaP.textsTbl.read()
+      .filter(col("url") === PagesGen.urlOf(PagesGen.qid(9)))
+      .select("text").as[String].collect().head
+    val staleMentions = deltaP.mentionsTbl.read()
+      .filter(col("url") === PagesGen.urlOf(PagesGen.qid(9)) && col("end") > newText.length)
+    assert(staleMentions.count() == 0, "mentions beyond the new text length must be deleted")
   }
 
   test("a killed job resumes exactly: same final tables as an uninterrupted run") {

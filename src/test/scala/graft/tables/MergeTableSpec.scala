@@ -91,6 +91,32 @@ class MergeTableSpec extends AnyFunSuite {
     assert(t.read().as[(String, Int)].collect().toMap == Map("a" -> 100, "b" -> 20, "c" -> 3))
   }
 
+  test("scope-replace: a re-processed scope sheds rows it no longer emits") {
+    val t = new MergeTable(spark, tmp(), Seq("url", "begin"), numBuckets = 8,
+      scopeCols = Some(Seq("url")))
+    t.merge(Seq(("u1", 0, "a"), ("u1", 5, "b"), ("u2", 0, "c")).toDF("url", "begin", "v"))
+    assert(t.rowCount == 3)
+    // u1 shrinks from two rows to one; u2 is untouched
+    t.merge(Seq(("u1", 0, "a2")).toDF("url", "begin", "v"))
+    assert(t.read().as[(String, Int, String)].collect().toSet ==
+      Set(("u1", 0, "a2"), ("u2", 0, "c")))
+    assert(t.rowCount == 2)
+    // explicit scopes: u2 processed but yields ZERO rows -> its rows delete
+    t.mergeScoped(Seq.empty[(String, Int, String)].toDF("url", "begin", "v"),
+      Seq("u2").toDF("url"))
+    assert(t.read().as[(String, Int, String)].collect().toSet == Set(("u1", 0, "a2")))
+    assert(t.rowCount == 1)
+  }
+
+  test("replace: table contents become exactly the new frame; history stays readable") {
+    val t = new MergeTable(spark, tmp(), Seq("id"), numBuckets = 8)
+    t.merge(Seq(("a", 1), ("b", 2)).toDF("id", "v"))
+    t.replace(Seq(("c", 3)).toDF("id", "v"))
+    assert(t.read().as[(String, Int)].collect().toSet == Set(("c", 3)))
+    assert(t.rowCount == 1)
+    assert(t.readSnapshot(1).as[(String, Int)].collect().toMap == Map("a" -> 1, "b" -> 2))
+  }
+
   test("composite keys") {
     val t = new MergeTable(spark, tmp(), Seq("a", "b"), numBuckets = 4)
     t.merge(Seq(("x", 1, "v1"), ("x", 2, "v2")).toDF("a", "b", "v"))
