@@ -123,7 +123,7 @@ object Similarity {
     // cell assignment: rank centroids per vector by cosine, keep the top one
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("_ccos"), asc("cell"))
     val assigned = e.join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("embedding"), col("_n"), col("label"), col("cell"),
+      .select(col("vec_id"), col("embedding"), col("_n"), col("cell"),
         cosineWithNorms(col("embedding"), col("cvec"), col("_n"), col("_cn")).as("_ccos"))
       .withColumn("_cr", row_number().over(wAssign))
       .filter(col("_cr") === 1)

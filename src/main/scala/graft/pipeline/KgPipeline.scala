@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   */
 final class KgPipeline(spark: SparkSession, root: String,
                        nPages: Long = 2000, linkK: Int = 5,
-                       failAfterStage: Option[String] = None) {
+                       failAfterStage: Option[String] = None,
+                       mentionBudgetChars: Long = 64L * 1000 * 1000) {
   import spark.implicits._
 
   val pagesTbl = new MergeTable(spark, s"$root/pages", Seq("url"))
@@ -146,7 +147,8 @@ final class KgPipeline(spark: SparkSession, root: String,
     // full-dimension collect)
     val mentionsSnap = lineage.runStage("mentions", textsSnap) {
       val t0 = System.nanoTime()
-      val df = Linker.mentionsSharded(spark, textsTbl.read(), mentionDict())
+      val df = Linker.mentionsSharded(spark, textsTbl.read(), mentionDict(),
+        broadcastBudgetChars = mentionBudgetChars)
       val snap = mentionsTbl.mergeScoped(df, urlScope(pagesTbl.read()))
       lineage.capture("mentions", textsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
@@ -338,7 +340,8 @@ final class KgPipeline(spark: SparkSession, root: String,
 
     lineage.runStage("delta_mentions", pagesSnap) {
       val t0 = System.nanoTime()
-      val df = Linker.mentionsSharded(spark, batchTexts, mentionDict())
+      val df = Linker.mentionsSharded(spark, batchTexts, mentionDict(),
+        broadcastBudgetChars = mentionBudgetChars)
       val snap = mentionsTbl.mergeScoped(df, urlScope(newPages))
       lineage.capture("delta_mentions", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
       snap

@@ -189,6 +189,22 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(pipe.triplesTbl.read().count() > beforeTriples)
   }
 
+  test("pipeline under a tiny mention-trie budget (forced sharding) == default run") {
+    val small = 60L
+    def runWith(budget: Long): Seq[String] = {
+      val dir = Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "kgtest-shard-").toString
+      val p = new KgPipeline(spark, dir, nPages = small, mentionBudgetChars = budget)
+      p.run()
+      val df = p.mentionsTbl.read()
+      df.select(df.columns.sorted.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    val default = runWith(64L * 1000 * 1000) // single broadcast trie
+    val sharded = runWith(200)               // forces many shard passes
+    assert(default.nonEmpty)
+    assert(sharded == default)
+  }
+
   test("delta ingest == full-recompute ingest (same batch, same final tables)") {
     // two identical roots, same initial corpus; then the same batch ingested
     // delta-only vs full-recompute — every table must converge identically
