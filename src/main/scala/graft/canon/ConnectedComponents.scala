@@ -66,8 +66,10 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
           (col("nmin").isNotNull && col("nmin") < col("component")).as("_changed"))
-        .localCheckpoint(true) // both jump-join sides read it: never run the
-                               // neighbor-min shuffle twice per round
+        .persist() // both jump-join sides read it: never run the neighbor-min
+                   // shuffle twice per round (persist, not localCheckpoint —
+                   // it must be releasable below; lineage is truncated by
+                   // `next`'s checkpoint anyway)
 
       // pointer jump: component(u) := component(component(u)) — component
       // values are node ids, so one more equi-join halves the remaining
@@ -82,6 +84,10 @@ object ConnectedComponents {
         .localCheckpoint(true) // truncate lineage: plans must not compound
 
       changed = next.filter(col("_changed")).count()
+      // `next` is materialized (eager checkpoint + count): this round's
+      // intermediate is no longer needed. Old rounds' checkpoint blocks are
+      // reclaimed by the ContextCleaner once unreferenced.
+      stepped.unpersist()
       labels = next.drop("_changed")
       iter += 1
     }

@@ -23,6 +23,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Linker {
 
+  /** Default broadcast budget for the mention-trie dictionary — one shared
+    * constant so pipeline config and direct calls can't drift apart.
+    */
+  val DefaultBroadcastBudgetChars: Long = 64L * 1000 * 1000
+
   /** texts(url, id, lang, text) → mentions(url, surface, begin, end, qid)
     * — one row per mention × candidate. Self-mentions (candidate == the
     * page's own entity) are dropped.
@@ -67,7 +72,7 @@ object Linker {
     * raw-match rows.
     */
   def mentionsSharded(spark: SparkSession, texts: DataFrame, dict: DataFrame,
-                      broadcastBudgetChars: Long = 64L * 1000 * 1000,
+                      broadcastBudgetChars: Long = DefaultBroadcastBudgetChars,
                       maxCandidates: Int = 50): DataFrame = {
     import spark.implicits._
     val stats = dict.agg(coalesce(sum(length(col("surface"))), lit(0L)).cast("long")).collect()(0)

@@ -39,7 +39,13 @@ object WikidataJson {
       .reverse.dropWhile(c => "[] ,\n\r\t".indexOf(c) >= 0).reverse
     if (trimmed.isEmpty) None
     else
-      try Some(mapper.readTree(trimmed))
+      try {
+        val node = mapper.readTree(trimmed)
+        // an entity line without an id is garbage: dropping it HERE gives
+        // every downstream flatMap (normalize, stats, harvest) the same
+        // dirty-row tolerance instead of an executor NPE on item["id"]
+        if (node.isObject && node.hasNonNull("id")) Some(node) else None
+      }
       catch { case _: Exception => None }
   }
 

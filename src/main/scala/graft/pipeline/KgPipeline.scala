@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 final class KgPipeline(spark: SparkSession, root: String,
                        nPages: Long = 2000, linkK: Int = 5,
                        failAfterStage: Option[String] = None,
-                       mentionBudgetChars: Long = 64L * 1000 * 1000) {
+                       mentionBudgetChars: Long = Linker.DefaultBroadcastBudgetChars) {
   import spark.implicits._
 
   val pagesTbl = new MergeTable(spark, s"$root/pages", Seq("url"))

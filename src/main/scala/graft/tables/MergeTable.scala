@@ -52,13 +52,31 @@ final class MergeTable(spark: SparkSession, val path: String,
     * `bucketRows` lets merge carry untouched buckets' counts forward without
     * re-reading their files (absent only in pre-upgrade manifests).
     */
+  private def manifestNode(v: Long) = mapper.readTree(Files.readString(manifestFile(v)))
+
   private def readManifest(v: Long): (Long, Map[Int, Long], Long, Map[Int, Long]) = {
-    val node = mapper.readTree(Files.readString(manifestFile(v)))
+    val node = manifestNode(v)
     val buckets = node.get("buckets").properties().asScala
       .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
     val bucketRows = Option(node.get("bucketRows")).map(_.properties().asScala
       .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
     (node.get("parent").asLong(), buckets, node.get("rowCount").asLong(), bucketRows)
+  }
+
+  /** A table's bucket hashing is part of its on-disk layout: merging with a
+    * DIFFERENT bucketing than the one that wrote it would neither find nor
+    * replace existing rows (silent duplicates). Manifests record it; a
+    * mismatch is a hard error, not a corruption.
+    */
+  private def validateLayout(): Unit = currentSnapshot.foreach { v =>
+    Option(manifestNode(v).get("bucketCols"))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .foreach { stored =>
+        if (stored != bucketCols)
+          throw new IllegalStateException(
+            s"table $path bucket layout mismatch: on-disk bucketCols=$stored vs " +
+              s"configured $bucketCols — recreate the table at a fresh root")
+      }
   }
 
   def rowCount: Long = currentSnapshot.map(readManifest(_)._3).getOrElse(0L)
@@ -83,8 +101,19 @@ final class MergeTable(spark: SparkSession, val path: String,
     val (_, buckets, _, _) = readManifest(v)
     val dirs = buckets.toSeq.map { case (b, snap) => bucketDir(snap, b) }
       .filter(d => Files.exists(Paths.get(d)))
-    if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else {
+      // a scope-replace/replace can legally empty the table: keep the last
+      // recorded schema so downstream column references still resolve
+      val schema = Option(manifestNode(v).get("schema")).map(n =>
+        org.apache.spark.sql.types.DataType.fromJson(n.toString)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      schema match {
+        case Some(st) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        case None => spark.emptyDataFrame
+      }
+    }
   }
 
   /** All snapshot ids, oldest first. */
@@ -119,7 +148,13 @@ final class MergeTable(spark: SparkSession, val path: String,
     */
   def mergeScoped(df: DataFrame, scopes: DataFrame): Long = {
     require(scopeCols.nonEmpty, s"table $path has no scopeCols")
-    mergeInternal(df, Some(scopes.select(scopeCols.get.map(col): _*).distinct()))
+    // ALWAYS include the incoming rows' own scopes: a row whose scope were
+    // missing from `scopes` would land in a bucket the merge never read,
+    // and rewriting that bucket would drop its unrelated old rows
+    val eff = scopes.select(scopeCols.get.map(col): _*)
+      .unionByName(df.select(scopeCols.get.map(col): _*))
+      .distinct()
+    mergeInternal(df, Some(eff))
   }
 
   /** Full-table REPLACE: the new snapshot contains exactly `df` (derived
@@ -127,6 +162,7 @@ final class MergeTable(spark: SparkSession, val path: String,
     * rows absent from the recompute must not survive).
     */
   def replace(df: DataFrame): Long = {
+    validateLayout()
     val newSnap = currentSnapshot.getOrElse(0L) + 1
     val parent = currentSnapshot.getOrElse(0L)
     val incoming = df.dropDuplicates(keyCols).withColumn("_bucket", bucketExpr)
@@ -137,12 +173,14 @@ final class MergeTable(spark: SparkSession, val path: String,
       if (!snapHasBuckets(newSnap)) Map.empty // empty frame: only _SUCCESS written
       else spark.read.parquet(s"$path/data/snap-$newSnap").groupBy("_bucket").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    writeManifest(newSnap, parent, newBucketRows.keys.map(_ -> newSnap).toMap, newBucketRows)
+    writeManifest(newSnap, parent, newBucketRows.keys.map(_ -> newSnap).toMap,
+      newBucketRows, df.schema.json)
     commitCurrent(newSnap)
     newSnap
   }
 
   private def mergeInternal(df: DataFrame, scopes: Option[DataFrame]): Long = {
+    validateLayout()
     val newSnap = currentSnapshot.getOrElse(0L) + 1
     val incoming = df.dropDuplicates(keyCols).withColumn("_bucket", bucketExpr)
 
@@ -210,19 +248,23 @@ final class MergeTable(spark: SparkSession, val path: String,
         val d = bucketDir(oldBuckets(b), b)
         b -> (if (Files.exists(Paths.get(d))) spark.read.parquet(d).count() else 0L)
       }.toMap
-    writeManifest(newSnap, parent, newBuckets, untouchedRows ++ newBucketRows)
+    writeManifest(newSnap, parent, newBuckets, untouchedRows ++ newBucketRows, df.schema.json)
     commitCurrent(newSnap)
     newSnap
   }
 
   private def writeManifest(newSnap: Long, parent: Long,
-                            buckets: Map[Int, Long], bucketRows: Map[Int, Long]): Unit = {
+                            buckets: Map[Int, Long], bucketRows: Map[Int, Long],
+                            schemaJson: String): Unit = {
     def intMapJson(m: Map[Int, Long]): String = m.toSeq.sortBy(_._1)
       .map { case (b, s) => s""""$b": $s""" }.mkString("{", ", ", "}")
+    val bucketColsJson = bucketCols.map(c => "\"" + c + "\"").mkString("[", ", ", "]")
     val json =
       s"""{"snapshotId": $newSnap, "parent": $parent, "rowCount": ${bucketRows.values.sum},
          | "createdMs": ${System.currentTimeMillis()}, "buckets": ${intMapJson(buckets)},
-         | "bucketRows": ${intMapJson(bucketRows)}}""".stripMargin
+         | "bucketRows": ${intMapJson(bucketRows)},
+         | "bucketCols": $bucketColsJson,
+         | "schema": $schemaJson}""".stripMargin
     Files.writeString(manifestFile(newSnap), json)
   }
 

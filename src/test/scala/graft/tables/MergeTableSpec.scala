@@ -108,6 +108,37 @@ class MergeTableSpec extends AnyFunSuite {
     assert(t.rowCount == 1)
   }
 
+  test("mergeScoped never loses co-bucketed rows when df carries scopes missing from `scopes`") {
+    // numBuckets = 1 forces every scope into one bucket: if the merge rewrote
+    // that bucket without having read it (scope u3 absent from `scopes`),
+    // u2's row would silently vanish
+    val t = new MergeTable(spark, tmp(), Seq("url", "begin"), numBuckets = 1,
+      scopeCols = Some(Seq("url")))
+    t.merge(Seq(("u1", 0, "a"), ("u2", 0, "b")).toDF("url", "begin", "v"))
+    t.mergeScoped(Seq(("u3", 0, "c")).toDF("url", "begin", "v"), Seq("u1").toDF("url"))
+    val got = t.read().as[(String, Int, String)].collect().toSet
+    assert(got == Set(("u2", 0, "b"), ("u3", 0, "c"))) // u1 replaced away, u2 intact
+  }
+
+  test("bucket-layout mismatch is a hard error, not silent duplication") {
+    val path = tmp()
+    new MergeTable(spark, path, Seq("url", "begin"), scopeCols = Some(Seq("url")))
+      .merge(Seq(("u1", 0, "a")).toDF("url", "begin", "v"))
+    val wrongLayout = new MergeTable(spark, path, Seq("url", "begin")) // key-bucketed
+    intercept[IllegalStateException] {
+      wrongLayout.merge(Seq(("u1", 1, "b")).toDF("url", "begin", "v"))
+    }
+  }
+
+  test("a fully-emptied table keeps its schema on read") {
+    val t = new MergeTable(spark, tmp(), Seq("id"), scopeCols = Some(Seq("id")))
+    t.merge(Seq(("a", 1)).toDF("id", "v"))
+    t.mergeScoped(Seq.empty[(String, Int)].toDF("id", "v"), Seq("a").toDF("id"))
+    assert(t.rowCount == 0)
+    assert(t.read().columns.toSeq == Seq("id", "v"))
+    assert(t.read().count() == 0)
+  }
+
   test("replace: table contents become exactly the new frame; history stays readable") {
     val t = new MergeTable(spark, tmp(), Seq("id"), numBuckets = 8)
     t.merge(Seq(("a", 1), ("b", 2)).toDF("id", "v"))
