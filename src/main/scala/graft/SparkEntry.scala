@@ -112,6 +112,30 @@ object SparkEntry {
   private def sqlDot(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), z -> CAST(z[1]*z[2] AS DOUBLE)), 'sum')"
 
+  /** Shared LSH CTEs for the s2/s4 oracles — mirrors Similarity.lshBucket:
+    * plane(seed,b,i) = md5-derived uniform in [−1,1) (exact in double), bucket
+    * = Σ 2^b over non-negative projections, projections computed with the
+    * bit-exact dot replica so every sign matches the engine.
+    */
+  private def lshCte(seedBase: Int, tables: Int, bits: Int): String =
+    s"""nn AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |pl AS (
+       |  SELECT t.t, b.b,
+       |    list_transform(range(64), i ->
+       |      CAST('0x' || substring(md5(CAST($seedBase + t.t AS VARCHAR) || '_' ||
+       |        CAST(b.b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+       |      / 2147483648.0 - 1.0) AS plane
+       |  FROM range($tables) t(t) CROSS JOIN range($bits) b(b)),
+       |bkt AS (
+       |  SELECT n.vec_id, p.t,
+       |    CAST(sum(CASE WHEN ${sqlDot("n.embedding", "p.plane")} >= 0
+       |      THEN (1 << p.b) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM nn n CROSS JOIN pl p
+       |  GROUP BY n.vec_id, p.t)""".stripMargin
+
   /** Shared retrieval CTE for the em* oracles — mirrors Eval.retrieve:
     * queries = lowest vec_id per label; rank by (cos desc, neighbor_id asc).
     */
@@ -275,6 +299,75 @@ object SparkEntry {
         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
         |FROM documents""".stripMargin,
+    "dd1_minhash_lsh" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s
+        |  FROM w WHERE len(words) >= 3),
+        |hp AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(g), 16, 8) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+        |mh AS (
+        |  SELECT doc_id, ii.i, min(h1 + ii.i * h2) AS h
+        |  FROM hp CROSS JOIN range(16) ii(i)
+        |  GROUP BY doc_id, ii.i),
+        |bk AS (
+        |  SELECT doc_id, i // 4 AS band, string_agg(h, ',' ORDER BY i) AS bkey
+        |  FROM mh GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+        |    AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT c.a, c.b,
+        |    sum(CASE WHEN xa.h = xb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        |  FROM cand c
+        |  JOIN mh xa ON xa.doc_id = c.a
+        |  JOIN mh xb ON xb.doc_id = c.b AND xb.i = xa.i
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+    "dd2_simhash_neardup" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\W+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS hi,
+        |    CAST('0x' || substring(md5(t), 9, 8) AS BIGINT) AS lo
+        |  FROM tok),
+        |bits AS (
+        |  SELECT d.doc_id, bb.b,
+        |    CASE WHEN coalesce(sum(CASE WHEN
+        |        (CASE WHEN bb.b < 32 THEN th.lo >> bb.b
+        |              ELSE th.hi >> (bb.b - 32) END) & 1 = 1
+        |      THEN 1 ELSE -1 END), 0) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM documents d
+        |  CROSS JOIN range(64) bb(b)
+        |  LEFT JOIN th ON th.doc_id = d.doc_id
+        |  GROUP BY d.doc_id, bb.b),
+        |blk AS (
+        |  SELECT doc_id, b // 16 AS block,
+        |    CAST(sum(bit * (1 << (b % 16))) AS BIGINT) AS key
+        |  FROM bits GROUP BY doc_id, block),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM blk x JOIN blk y ON x.block = y.block AND x.key = y.key
+        |    AND x.doc_id < y.doc_id),
+        |ham AS (
+        |  SELECT c.a, c.b,
+        |    CAST(sum(CASE WHEN xa.bit != xb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits xa ON xa.doc_id = c.a
+        |  JOIN bits xb ON xb.doc_id = c.b AND xb.b = xa.b
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
     "dd3_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
@@ -309,6 +402,38 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s2_ann_lsh" ->
+      s"""WITH ${lshCte(seedBase = 42, tables = 4, bits = 8)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn
+         |      FROM nn WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id AS neighbor_id, qb.vec_id AS query_id
+         |  FROM bkt c JOIN bkt qb ON c.t = qb.t AND c.bucket = qb.bucket
+         |  WHERE qb.vec_id < 10 AND c.vec_id != qb.vec_id),
+         |sc AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    CASE WHEN q.qn * e.nrm = 0 THEN 0.0
+         |         ELSE ${sqlDot("q.qvec", "e.embedding")} / (q.qn * e.nrm) END AS cos
+         |  FROM cand
+         |  JOIN nn e ON e.vec_id = cand.neighbor_id
+         |  JOIN q ON q.query_id = cand.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s4_embedding_neardup_lsh" ->
+      s"""WITH ${lshCte(seedBase = 7, tables = 4, bits = 10)},
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bkt x JOIN bkt y ON x.t = y.t AND x.bucket = y.bucket
+         |    AND x.vec_id < y.vec_id),
+         |p AS (
+         |  SELECT c.a, c.b,
+         |    CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
+         |         ELSE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) END AS cos
+         |  FROM cand c
+         |  JOIN nn x ON x.vec_id = c.a
+         |  JOIN nn y ON y.vec_id = c.b)
+         |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.3""".stripMargin,
     "s3_embedding_neardup" ->
       s"""WITH nn AS (
          |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm

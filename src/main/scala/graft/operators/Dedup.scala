@@ -51,13 +51,18 @@ object Dedup {
       .filter(size(col("sh")) > 0)
   }
 
-  /** Seeded 64-bit string hash (FNV-1a core + avalanche), for signatures. */
-  def hash64(s: String, seed: Long): Long = {
-    var h = 0xcbf29ce484222325L ^ (seed * 0x9E3779B97F4A7C15L)
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
-    h
+  /** md5-derived double-hash pieces for a shingle: h1 = first 60 bits of the
+    * digest hex, h2 = the next 32 — hash_i = h1 + i·h2 (Kirsch–Mitzenmacher).
+    * One MD5 per shingle, and — the point — DuckDB-reproducible:
+    * `CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)` etc., so the LSH
+    * output has a hard SQL oracle instead of a recall-only spec. Values stay
+    * below 2^60 + 16·2^32, so i·h2 never overflows a signed long on either
+    * engine. (Replaces a seeded FNV mix the oracle couldn't express.)
+    */
+  def mhashPieces(g: String): (Long, Long) = {
+    val hex = graft.triples.Triples.md5Hex(g)
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16),
+      java.lang.Long.parseLong(hex.substring(15, 23), 16))
   }
 
   /** MinHash signatures, all k mins in one pass per doc (typed map). */
@@ -68,9 +73,10 @@ object Dedup {
         val sh = shinglesScala(text)
         val sig = Array.fill(numHashes)(Long.MaxValue)
         sh.foreach { g =>
+          val (h1, h2) = mhashPieces(g)
           var i = 0
           while (i < numHashes) {
-            val h = hash64(g, i)
+            val h = h1 + i * h2
             if (h < sig(i)) sig(i) = h
             i += 1
           }
@@ -118,14 +124,22 @@ object Dedup {
       .toDF("doc_id", "sig")
   }
 
-  /** Pure single-pass SimHash: xxhash-free (deterministic JVM hash mix). */
+  /** Pure single-pass SimHash. The per-token 64-bit value is the first 16
+    * hex chars of md5(token) — low word = hex[8,16), high word = hex[0,8) —
+    * so the DuckDB oracle reproduces each bit as
+    * `(CAST('0x'||substring(md5(t),9,8) AS BIGINT) >> b) & 1` (b<32) /
+    * the [1,8) slice shifted by b−32 (b≥32). Replaces a `String.hashCode`
+    * mix SQL couldn't express.
+    */
   def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
     val seen = scala.collection.mutable.HashSet.empty[String]
     text.toLowerCase.split("\\W+").foreach { t =>
       if (t.nonEmpty && seen.add(t)) {
-        var h = t.hashCode.toLong * 0x9E3779B97F4A7C15L
-        h ^= h >>> 32
+        val hex = graft.triples.Triples.md5Hex(t)
+        val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        val h = (hi << 32) | lo
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -61,12 +61,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Plane coordinate (seed, b, i) ∈ [−1, 1): md5-derived uniform — the first
+    * 32 digest bits of "seed_b_i" scaled by 2^−31, minus 1. Exact in double
+    * on both engines (≤32-bit numerator), so the DuckDB oracle reproduces
+    * every projection sign bit-identically:
+    * `CAST('0x'||substring(md5(s||'_'||b||'_'||i),1,8) AS BIGINT)
+    *  / 2147483648.0 - 1.0`.
+    * Uniform-symmetric planes (vs the previous `java.util.Random` gaussians,
+    * which SQL can't replay) keep sign-LSH unbiased; recall vs the exact
+    * baselines stays spec-gated.
+    */
+  def planeCoord(seed: Long, b: Int, i: Int): Double =
+    java.lang.Long.parseLong(
+      graft.triples.Triples.md5Hex(s"${seed}_${b}_${i}").substring(0, 8), 16) /
+      2147483648.0 - 1.0
+
   /** Seeded random hyperplanes → sign-bit bucket id per vector. */
   def lshBucket(v: Column, dimLen: Int, bits: Int, seed: Long): Column = {
     // plane(b)(i) deterministic from (seed, b, i); sign of projection = bit b
     val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
-      val rnd = new java.util.Random(seed * 1341 + b)
-      (0 until dimLen).map(_ => rnd.nextGaussian())
+      (0 until dimLen).map(i => planeCoord(seed, b, i))
     }
     (0 until bits).map { b =>
       val proj = aggregate(
@@ -185,5 +199,6 @@ object Similarity {
     pairs.select(col("a"), col("b"),
         cosineWithNorms(col("va"), col("vb"), col("_na"), col("_nb")).as("cos"))
       .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
 }
