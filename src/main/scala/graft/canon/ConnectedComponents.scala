@@ -3,6 +3,7 @@ package graft.canon
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import scala.util.chaining._
 
 /** Connected components over alias/sameAs edges as iterative DataFrame
   * self-joins — small-label propagation with pointer jumping (SURVEY.md §4,
@@ -20,11 +21,12 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale notes:
   *  - edges are symmetrized once up front;
-  *  - each round's frame is localCheckpoint'ed (eager): this truncates the
+  *  - each round's frame is eagerly checkpointed: this truncates the
   *    logical plan, which otherwise grows exponentially across iterations
-  *    (every round re-embeds the previous round's join tree). On a real
-  *    cluster with executor loss concerns, switch to reliable
-  *    `checkpoint()` with a checkpoint dir — same call shape;
+  *    (every round re-embeds the previous round's join tree). Pass
+  *    `checkpointDir` for reliable fault-tolerant `checkpoint()` on a real
+  *    cluster (round frames survive executor loss); the default is
+  *    `localCheckpoint` — the single-JVM mode (identical output, spec-pinned);
   *  - supernode skew (one hub with millions of neighbors) rides on AQE skew
   *    splitting; the `spark.sql.adaptive.skewJoin` knobs are the knob, not
   *    custom salting, because the join keys here are already maximally
@@ -39,7 +41,14 @@ object ConnectedComponents {
     * component (string min). Nodes = every id appearing in edges ∪ `nodes`.
     */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
-          maxIterations: Int = 50): DataFrame = {
+          maxIterations: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    // reliable (fault-tolerant) checkpointing when a dir is given — the real-
+    // cluster mode: round frames survive executor loss. localCheckpoint is
+    // the single-JVM default (no HDFS in the sandbox); same call shape.
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -50,7 +59,7 @@ object ConnectedComponents {
       .unionByName(sym.select(col("src").as("id")))
       .distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .pipe(materialize)
 
     var changed = 1L
     var iter = 0
@@ -81,7 +90,7 @@ object ConnectedComponents {
           least(col("component"), coalesce(col("_pcomp"), col("component"))).as("component"),
           (col("_changed") ||
             (col("_pcomp").isNotNull && col("_pcomp") < col("component"))).as("_changed"))
-        .localCheckpoint(true) // truncate lineage: plans must not compound
+        .pipe(materialize) // truncate lineage: plans must not compound
 
       changed = next.filter(col("_changed")).count()
       // `next` is materialized (eager checkpoint + count): this round's

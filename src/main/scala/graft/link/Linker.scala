@@ -115,7 +115,15 @@ object Linker {
           }
       }
       .toDF("url", "surface", "begin", "end", "qid", "context")
-    resolved
+    // materialize the (small) resolved mention rows eagerly so the (big)
+    // texts projection can be dropped before returning — otherwise every
+    // sharded run in a long-lived driver leaks one cached texts copy.
+    // localCheckpoint is the single-JVM stand-in for reliable checkpoint();
+    // the trade (lineage truncation vs executor-loss tolerance) is the same
+    // one ConnectedComponents documents.
+    val out = resolved.localCheckpoint(true)
+    textsP.unpersist()
+    out
   }
 
   /** Score candidates and keep top-K per mention.

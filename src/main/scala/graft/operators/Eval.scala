@@ -27,14 +27,30 @@ object Eval {
     * both candidate columns (`label`, `vec_id`) and query columns
     * (`query_label`, `query_id`), so it is pushed into the join condition —
     * at scale it prunes candidates before any vector arithmetic runs.
+    *
+    * `queriesDf` is the BROADCAST-CONTRACT input: an explicit, bounded eval
+    * set with columns (query_id, qvec, query_label) — the reference's shape,
+    * where queries come from a small external QA table
+    * (docker/4_Run_Retrieval), never from the corpus. The default (None)
+    * derives one query per distinct corpus `label` — convenient on the
+    * driver's testdata, but its size grows with corpus label cardinality, so
+    * at 100 TB callers MUST pass a bounded set; the broadcast below is only
+    * safe because |queries| is an API input, not a corpus property.
     */
   def retrieve(spark: SparkSession, dir: String, k: Int = 10,
-               candidateFilter: Option[Column] = None): DataFrame = {
+               candidateFilter: Option[Column] = None,
+               queriesDf: Option[DataFrame] = None): DataFrame = {
     val e = emb(spark, dir).withColumn("_n", Similarity.norm(col("embedding")))
-    val qWin = Window.partitionBy("label").orderBy(asc("vec_id"))
-    val queries = e.withColumn("rn", row_number().over(qWin)).filter(col("rn") === 1)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("label").as("query_label"), col("_n").as("_qn"))
+    val queries = queriesDf match {
+      case Some(q) =>
+        q.select(col("query_id"), col("qvec"), col("query_label"))
+          .withColumn("_qn", Similarity.norm(col("qvec")))
+      case None =>
+        val qWin = Window.partitionBy("label").orderBy(asc("vec_id"))
+        e.withColumn("rn", row_number().over(qWin)).filter(col("rn") === 1)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+            col("label").as("query_label"), col("_n").as("_qn"))
+    }
     val joinCond = candidateFilter.foldLeft(col("vec_id") =!= col("query_id"))(_ && _)
     val scored = e.join(broadcast(queries), joinCond)
       .select(col("query_id"), col("query_label"),
@@ -63,12 +79,13 @@ object Eval {
     * the original retrieval rank, matching the reference's *stable*
     * `sorted(-score)` over the retrieval-ordered list.
     */
-  def rerank(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def rerank(spark: SparkSession, dir: String, k: Int = 10,
+             queriesDf: Option[DataFrame] = None): DataFrame = {
     val crossScore = round(
       conv(substring(md5(concat_ws("_", col("query_id"), col("neighbor_id"))), 1, 8), 16, 10)
         .cast("long") / 4294967296.0, 6)
     val w = Window.partitionBy("query_id").orderBy(desc("cross_score"), asc("rank"))
-    retrieve(spark, dir, k)
+    retrieve(spark, dir, k, queriesDf = queriesDf)
       .withColumn("cross_score", crossScore)
       .withColumn("new_rank", row_number().over(w))
       .select(col("query_id"), col("new_rank"), col("neighbor_id"), col("cross_score"))
@@ -77,8 +94,9 @@ object Eval {
   /** MRR / NDCG@K / accuracy / log-odds over the retrieval
     * (ref: notebooks/4-Evaluation_Calculation.ipynb cell 2). One output row.
     */
-  def metrics(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val r = retrieve(spark, dir, k)
+  def metrics(spark: SparkSession, dir: String, k: Int = 10,
+              queriesDf: Option[DataFrame] = None): DataFrame = {
+    val r = retrieve(spark, dir, k, queriesDf = queriesDf)
     val perQuery = r.groupBy("query_id")
       .agg(
         min(when(col("relevant") === 1, col("rank"))).as("first_hit_rank"),

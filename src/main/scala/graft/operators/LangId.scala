@@ -29,18 +29,29 @@ object LangId {
     "ar" -> "الثعلب البني السريع يقفز فوق الكلب الكسول وكان أفضل الأوقات وكان أسوأ الأوقات هذه جملة مثال باللغة العربية",
     "zh" -> "敏捷的棕色狐狸跳过懒狗这是最好的时代这是最坏的时代这是一个中文示例句子包含许多常用词汇")
 
-  private def trigramCounts(text: String): Map[String, Int] = {
+  /** Mutable single-pass trigram count — this is the per-doc CPU hot path
+    * (one call per document in a narrow map); the previous immutable
+    * `foldLeft`+`updated` allocated a fresh Map per trigram (O(|text|)
+    * short-lived garbage per doc).
+    */
+  private def trigramCounts(text: String): scala.collection.Map[String, Int] = {
     val t = text.toLowerCase
-    if (t.length < 3) Map.empty
-    else t.sliding(3).foldLeft(Map.empty[String, Int]) { (m, g) =>
-      m.updated(g, m.getOrElse(g, 0) + 1)
+    if (t.length < 3) return Map.empty
+    val m = new scala.collection.mutable.HashMap[String, Int]()
+    var i = 0
+    while (i + 3 <= t.length) {
+      val g = t.substring(i, i + 3)
+      m.update(g, m.getOrElse(g, 0) + 1)
+      i += 1
     }
+    m
   }
 
-  private lazy val profiles: Map[String, (Map[String, Int], Double)] = seeds.map { case (l, s) =>
-    val counts = trigramCounts(s)
-    l -> (counts, math.sqrt(counts.values.map(v => v.toDouble * v).sum))
-  }
+  private lazy val profiles: Map[String, (scala.collection.Map[String, Int], Double)] =
+    seeds.map { case (l, s) =>
+      val counts = trigramCounts(s)
+      l -> (counts, math.sqrt(counts.values.map(v => v.toDouble * v).sum))
+    }
 
   /** Predict the language of `text`; "und" = undetermined (too short / no
     * overlap with any profile).

@@ -31,8 +31,10 @@ final class KgPipeline(spark: SparkSession, root: String,
   val pagesTbl = new MergeTable(spark, s"$root/pages", Seq("url"))
   // NOTE: keyed (id, lang) since the per-language label dimension landed —
   // a `labels` table written by the earlier id-keyed layout is NOT readable
-  // in place (different bucket hashing + schema); point the pipeline at a
-  // fresh root rather than an old one
+  // in place (different bucket hashing + schema). MergeTable.validateLayout
+  // enforces this: a mismatched OR unstamped on-disk bucketCols is a hard
+  // error, so pointing new code at a legacy root fails fast instead of
+  // silently mis-bucketing merges.
   val labelsTbl = new MergeTable(spark, s"$root/labels", Seq("id", "lang"))
   val idFlagsTbl = new MergeTable(spark, s"$root/id_flags", Seq("id"))
   // per-page tables are SCOPED by their page: re-processing a page REPLACES
@@ -130,11 +132,16 @@ final class KgPipeline(spark: SparkSession, root: String,
     checkFail("harvest_ids")
 
     lazy val gatedPayloads = gatePayloads(payloads)
+    // one gather-join feeds BOTH textify and docs (the two renderers resolve
+    // the same (url → label map) frame); persisting it halves the pipeline's
+    // biggest shuffle (refs explode + label join + per-url regroup)
+    lazy val resolved = TextifyStage.withLabelMaps(
+      spark, gatedPayloads, labelsTbl.read()).persist()
 
     // stage: textify — byte-identical extracted text per url (gated)
     val textsSnap = lineage.runStage("textify", labelsSnap) {
       val t0 = System.nanoTime()
-      val df = TextifyStage.render(spark, gatedPayloads, labelsTbl.read())
+      val df = TextifyStage.renderResolved(spark, resolved)
       val snap = textsTbl.mergeScoped(df, urlScope(pagesTbl.read()))
       lineage.capture("textify", labelsSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
@@ -179,7 +186,7 @@ final class KgPipeline(spark: SparkSession, root: String,
     // collect of the label dimension.
     lineage.runStage("docs", textsSnap) {
       val t0 = System.nanoTime()
-      val chunks = TextifyStage.renderChunks(spark, gatedPayloads, labelsTbl.read(), maxTokens = 120)
+      val chunks = TextifyStage.renderChunksResolved(spark, resolved, maxTokens = 120)
       val df = Embedder.embedDataset(
         chunks.select("doc_id", "text").as[(String, String)]).toDF("doc_id", "vec")
         .join(chunks, Seq("doc_id"))
@@ -219,6 +226,10 @@ final class KgPipeline(spark: SparkSession, root: String,
     lineage.runStage("materialize", canonSnap)(materializeStage(canonSnap))
     checkFail("materialize")
 
+    // drop the run-scoped caches (mirrors runDelta) — a long-lived driver
+    // running repeated full ingests must not accumulate cached corpus copies
+    resolved.unpersist()
+    payloads.unpersist()
     triplesSnap
   }
 
@@ -327,10 +338,12 @@ final class KgPipeline(spark: SparkSession, root: String,
     }
 
     val gated = gatePayloads(payloads)
+    lazy val resolved = TextifyStage.withLabelMaps(
+      spark, gated, labelsTbl.read()).persist()
 
     lineage.runStage("delta_textify", pagesSnap) {
       val t0 = System.nanoTime()
-      val df = TextifyStage.render(spark, gated, labelsTbl.read())
+      val df = TextifyStage.renderResolved(spark, resolved)
       val snap = textsTbl.mergeScoped(df, urlScope(newPages))
       lineage.capture("delta_textify", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
       snap
@@ -361,7 +374,7 @@ final class KgPipeline(spark: SparkSession, root: String,
 
     lineage.runStage("delta_docs", pagesSnap) {
       val t0 = System.nanoTime()
-      val chunks = TextifyStage.renderChunks(spark, gated, labelsTbl.read(), maxTokens = 120)
+      val chunks = TextifyStage.renderChunksResolved(spark, resolved, maxTokens = 120)
       val df = Embedder.embedDataset(
         chunks.select("doc_id", "text").as[(String, String)]).toDF("doc_id", "vec")
         .join(chunks, Seq("doc_id"))
@@ -394,6 +407,7 @@ final class KgPipeline(spark: SparkSession, root: String,
     }
 
     lineage.runStage("delta_materialize", pagesSnap)(materializeStage(canonSnap))
+    resolved.unpersist()
     payloads.unpersist()
     triplesSnap
   }

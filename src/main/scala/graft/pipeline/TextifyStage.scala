@@ -100,10 +100,17 @@ object TextifyStage {
     * [[renderChunks]]; `langOf` maps a page to the variant whose data
     * language should resolve it.
     */
-  private def withLabelMaps(spark: SparkSession, payloads: Dataset[PagePayload],
-                            labels: DataFrame, langOf: PagePayload => String)
+  /** Gather-join construction counter — lets the pipeline spec pin that a
+    * full run builds this frame ONCE (textify and docs share it; combined
+    * with the pipeline's persist, the refs shuffle executes once per run).
+    */
+  private[graft] val gatherJoinCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def withLabelMaps(spark: SparkSession, payloads: Dataset[PagePayload],
+                    labels: DataFrame, langOf: PagePayload => String = _.lang)
       : Dataset[(PagePayload, Map[String, String])] = {
     import spark.implicits._
+    gatherJoinCalls.incrementAndGet()
 
     val refs = payloads.flatMap { pp =>
       WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
@@ -134,9 +141,19 @@ object TextifyStage {
     * dropped (the same None-semantics as every other stage's flatMap — one
     * dirty page must not abort a corpus-scale run).
     */
-  def render(spark: SparkSession, payloads: Dataset[PagePayload], labels: DataFrame): DataFrame = {
+  def render(spark: SparkSession, payloads: Dataset[PagePayload], labels: DataFrame): DataFrame =
+    renderResolved(spark, withLabelMaps(spark, payloads, labels, _.lang))
+
+  /** [[render]] over an ALREADY label-resolved frame — the pipeline computes
+    * [[withLabelMaps]] once (persisted) and feeds both this and
+    * [[renderChunksResolved]], so the refs-explode + label shuffle + per-url
+    * regroup — the pipeline's biggest shuffle — executes once per run, not
+    * once per consuming stage.
+    */
+  def renderResolved(spark: SparkSession,
+                     resolved: Dataset[(PagePayload, Map[String, String])]): DataFrame = {
     import spark.implicits._
-    withLabelMaps(spark, payloads, labels, _.lang).flatMap { case (pp, labelMap) =>
+    resolved.flatMap { case (pp, labelMap) =>
       WikidataJson.parseLine(pp.payload).map { item =>
         val entity = WikidataJson.normalize(item, LangVariant.dataLang(pp.lang))
         val textifier = new Textifier(LangVariant(pp.lang), labelMap.get)
@@ -154,9 +171,20 @@ object TextifyStage {
     */
   def renderChunks(spark: SparkSession, payloads: Dataset[PagePayload], labels: DataFrame,
                    maxTokens: Int, langOverride: Option[String] = None): DataFrame = {
+    val langOf: PagePayload => String = pp => langOverride.getOrElse(pp.lang)
+    renderChunksResolved(spark, withLabelMaps(spark, payloads, labels, langOf),
+      maxTokens, langOverride)
+  }
+
+  /** [[renderChunks]] over an already label-resolved frame (see
+    * [[renderResolved]] for why the pipeline shares it).
+    */
+  def renderChunksResolved(spark: SparkSession,
+                           resolved: Dataset[(PagePayload, Map[String, String])],
+                           maxTokens: Int, langOverride: Option[String] = None): DataFrame = {
     import spark.implicits._
     val langOf: PagePayload => String = pp => langOverride.getOrElse(pp.lang)
-    withLabelMaps(spark, payloads, labels, langOf).flatMap { case (pp, labelMap) =>
+    resolved.flatMap { case (pp, labelMap) =>
       WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
         val lang = langOf(pp)
         val e = WikidataJson.normalize(item, LangVariant.dataLang(lang))

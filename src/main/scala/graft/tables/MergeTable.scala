@@ -70,13 +70,22 @@ final class MergeTable(spark: SparkSession, val path: String,
     */
   private def validateLayout(): Unit = currentSnapshot.foreach { v =>
     Option(manifestNode(v).get("bucketCols"))
-      .map(_.elements().asScala.map(_.asText()).toSeq)
-      .foreach { stored =>
+      .map(_.elements().asScala.map(_.asText()).toSeq) match {
+      case Some(stored) =>
         if (stored != bucketCols)
           throw new IllegalStateException(
             s"table $path bucket layout mismatch: on-disk bucketCols=$stored vs " +
               s"configured $bucketCols — recreate the table at a fresh root")
-      }
+      case None =>
+        // a manifest that predates layout stamping can't prove its bucketing;
+        // merging against it with ANY assumed layout could silently
+        // mis-bucket (duplicates / missed scope deletions) — hard error, same
+        // as a recorded mismatch
+        throw new IllegalStateException(
+          s"table $path manifest v$v records no bucketCols (pre-layout-stamp " +
+            s"table) — cannot verify it matches configured $bucketCols; " +
+            "recreate the table at a fresh root")
+    }
   }
 
   def rowCount: Long = currentSnapshot.map(readManifest(_)._3).getOrElse(0L)

@@ -121,4 +121,17 @@ object ItemChunker {
         .map(e => propsToString(e.getKey, e.getValue, labelOf)).mkString("")
     chunkItemString(itemStr, qid, header, nStatements, nSitelinks, nDescriptions, chunksize)
   }
+
+  /** Total variant for distributed use: a label-less item yields NO chunks
+    * (the drop-the-row tolerance every corpus path uses) instead of the
+    * reference-parity crash in [[entityToItemChunks]]. Wire THIS into Spark
+    * stages — one dirty entity must not kill a corpus-scale job; keep the
+    * throwing form only for golden parity.
+    */
+  def entityToItemChunksSafe(item: JsonNode, labelOf: String => Option[String],
+                             lang: String = "en", chunksize: Int = 100): Seq[ItemChunk] = {
+    val qid = item.path("id").asText()
+    if (qid.isEmpty || labelOf(qid).isEmpty) Seq.empty
+    else entityToItemChunks(item, labelOf, lang, chunksize)
+  }
 }

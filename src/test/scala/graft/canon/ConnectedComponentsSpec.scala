@@ -32,6 +32,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(nodes.head), "chain must collapse to the min id")
   }
 
+  test("reliable checkpoint mode (checkpointDir) == localCheckpoint mode") {
+    val edges = Seq("b" -> "c", "c" -> "d", "x" -> "y", "p" -> "q").toDF("src", "dst")
+    val nodes = Seq("a", "b", "c", "d", "x", "y", "p", "q").toDF("id")
+    val local = ConnectedComponents.run(spark, edges, nodes)
+      .as[(String, String)].collect().toMap
+    val ckptDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cc-ckpt-").toString
+    val reliable = ConnectedComponents.run(spark, edges, nodes, checkpointDir = Some(ckptDir))
+      .as[(String, String)].collect().toMap
+    assert(reliable == local)
+    // reliable mode actually wrote checkpoint data (fault-tolerant path taken)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable checkpoint must persist round frames to the dir")
+  }
+
   test("property: result invariant under edge permutation and direction (seeded fuzz)") {
     val rnd = new java.util.Random(7)
     (0 until 5).foreach { _ =>

@@ -68,6 +68,31 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(m.getAs[Double]("ndcg") == 1.0) // all relevant ranked before irrelevant
   }
 
+  test("Eval.retrieve with an explicit bounded query table (the broadcast contract)") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "evalq-").toString
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0), (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (10L, Seq(0f, 1f, 0f, 0f), 1), (11L, Seq(0f, 1f, 0f, 0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // external eval set (reference shape: docker/4's QA table), NOT derived
+    // from the corpus — only query 0 is asked, so only query 0 is answered
+    val qs = Seq((0L, Seq(1f, 0f, 0f, 0f), 0)).toDF("query_id", "qvec", "query_label")
+      .withColumn("qvec", org.apache.spark.sql.functions.col("qvec").cast("array<float>"))
+    val r = Eval.retrieve(spark, dir, k = 3, queriesDf = Some(qs))
+      .select("query_id", "neighbor_id", "rank", "relevant")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(r.map(_._1).toSet == Set(0L), "only the supplied query runs")
+    assert(r.filter(_._3 == 1).head._2 == 1L, "identical vector ranks first")
+    // the derived-default path answers one query PER LABEL (2 here) — the
+    // explicit table bounds the broadcast side independently of the corpus
+    val m = Eval.metrics(spark, dir, k = 3, queriesDf = Some(qs)).collect().head
+    assert(m.getAs[Long]("n_queries") == 1)
+    assert(m.getAs[Double]("mrr") == 1.0)
+  }
+
   test("multimodal stubs: decode/resize/frames are deterministic with real batching") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.multimodal.Media.assets(spark, dir)

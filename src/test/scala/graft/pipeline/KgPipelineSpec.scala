@@ -205,6 +205,18 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(sharded == default)
   }
 
+  test("one gather-join per full run: textify and docs share the resolved frame") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "kgtest-share-").toString
+    val before = TextifyStage.gatherJoinCalls.get()
+    new KgPipeline(spark, dir, nPages = 60L).run()
+    val calls = TextifyStage.gatherJoinCalls.get() - before
+    // the (persisted) resolved frame is constructed once and feeds both the
+    // textify and docs stages — the refs explode + label shuffle + per-url
+    // regroup (the pipeline's biggest shuffle) must not run per stage
+    assert(calls == 1, s"expected 1 gather-join per run, saw $calls")
+  }
+
   test("delta ingest == full-recompute ingest (same batch, same final tables)") {
     // two identical roots, same initial corpus; then the same batch ingested
     // delta-only vs full-recompute — every table must converge identically

@@ -130,6 +130,22 @@ class MergeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("a legacy manifest without bucketCols is a hard error (cannot verify layout)") {
+    val path = tmp()
+    val t = new MergeTable(spark, path, Seq("url"), scopeCols = Some(Seq("url")))
+    t.merge(Seq(("u1", "a")).toDF("url", "v"))
+    // simulate a pre-layout-stamp manifest: strip bucketCols in place
+    val mf = java.nio.file.Paths.get(path, "_manifests", "v1.json")
+    val stripped = java.nio.file.Files.readString(mf)
+      .replaceAll("\"bucketCols\":\\s*\\[[^\\]]*\\],", "")
+    java.nio.file.Files.writeString(mf, stripped)
+    val reopened = new MergeTable(spark, path, Seq("url"), scopeCols = Some(Seq("url")))
+    val e = intercept[IllegalStateException] {
+      reopened.merge(Seq(("u1", "b")).toDF("url", "v"))
+    }
+    assert(e.getMessage.contains("no bucketCols"))
+  }
+
   test("a fully-emptied table keeps its schema on read") {
     val t = new MergeTable(spark, tmp(), Seq("id"), scopeCols = Some(Seq("id")))
     t.merge(Seq(("a", 1)).toDF("id", "v"))
