@@ -102,6 +102,9 @@ object SparkEntry {
     "kg8_triplets" -> (KgQueries.triplets _),
     // A1: per-PID / per-class / per-site corpus stats
     "kg9_stats" -> (KgQueries.stats _),
+    // S13: stage-6 HF export rows (clean_entity + labels splice + compact
+    // json columns), golden-pinned byte-exact by HfExportGoldenSpec
+    "kg10_hf_export" -> (KgQueries.hfExport _),
   )
 
   /** Exact DuckDB replica of the engine's cosine arithmetic: FLOAT*FLOAT
@@ -560,5 +563,39 @@ object SparkEntry {
       """SELECT count(*) AS n_first, count(DISTINCT text) AS misses_first,
         |  count(*) AS n_second, CAST(0 AS BIGINT) AS misses_second
         |FROM documents""".stripMargin,
+    // kg4/kg9 ride materialized deterministic frames (graft.Verify writes
+    // them under target/oracle_frames; the engine reads the SAME files), so
+    // the self-generated corpus' relational halves get hard oracle rows:
+    // kg4 = the full label-join + render stage, kg9 = the stat aggregation.
+    "kg4_triples" ->
+      """WITH r AS (
+        |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg4_claim_rows/*.parquet')),
+        |l AS (
+        |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg4_labels/*.parquet')),
+        |j AS (
+        |  SELECT r.*, p.label AS _plabel, s.label AS _slabel, v.label AS _vlabel,
+        |    regexp_replace(regexp_replace(v.label, '^b''', ''), '''\z', '') AS stripped
+        |  FROM r
+        |  JOIN l p ON r.pid = p.id AND p.id LIKE 'P%'
+        |  JOIN l s ON r.qid = s.id
+        |  LEFT JOIN l v ON r.isQidValue AND r.valueScalar = v.id)
+        |SELECT
+        |  md5(concat_ws('|', qid, pid, claimIdx, valueScalar)) AS uuid,
+        |  qid, pid,
+        |  translate(valueScalar, '"', '''') AS value,
+        |  translate(_slabel, '"', '''') AS qid_label,
+        |  translate(itemDesc, '"', '''') AS item_label,
+        |  translate(_plabel, '"', '''') AS property_label,
+        |  translate(CASE WHEN isQidValue THEN stripped ELSE valueScalar END,
+        |    '"', '''') AS value_content,
+        |  translate(concat_ws(' ', itemDesc, _plabel,
+        |    CASE WHEN isQidValue THEN stripped ELSE valueScalar END),
+        |    '"', '''') AS statement
+        |FROM j
+        |WHERE NOT isQidValue OR (_vlabel IS NOT NULL AND length(stripped) > 0)""".stripMargin,
+    "kg9_stats" ->
+      """SELECT stat, key, count(*) AS n
+        |FROM read_parquet('/root/repo/target/oracle_frames/kg9_stat_rows/*.parquet')
+        |GROUP BY stat, key""".stripMargin,
   )
 }

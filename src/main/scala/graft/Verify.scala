@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // materialize kg4/kg9's deterministic pre-join frames so their oracle SQL
+    // can replay the relational halves via read_parquet (Bench leaves this
+    // unset: no extra I/O in timed runs)
+    System.setProperty("graft.oracle.frames", "1")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

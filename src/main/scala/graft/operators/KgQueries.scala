@@ -19,6 +19,25 @@ object KgQueries {
 
   val nPages = 1500L
 
+  /** The kg corpus is self-generated, so DuckDB has no parquet to oracle
+    * against — EXCEPT when the deterministic pre-join frames are materialized
+    * for it. graft.Verify sets `graft.oracle.frames=1`: kg4/kg9 then write
+    * their claim-rows/labels/stat-rows inputs under [[oracleFramesDir]] and
+    * READ THEM BACK, so the engine consumes byte-for-byte what the oracle's
+    * `read_parquet` replays — turning the relational halves (joins, render
+    * columns, aggregation) into hard rows+schema+hash checks. Bench leaves
+    * the flag unset (no extra I/O in timed runs).
+    */
+  def oracleFramesEnabled: Boolean = sys.props.get("graft.oracle.frames").contains("1")
+  val oracleFramesDir = "/root/repo/target/oracle_frames"
+
+  private def materializeForOracle(df: DataFrame, name: String): DataFrame =
+    if (!oracleFramesEnabled) df
+    else {
+      df.coalesce(4).write.mode("overwrite").parquet(s"$oracleFramesDir/$name")
+      df.sparkSession.read.parquet(s"$oracleFramesDir/$name")
+    }
+
   private def payloads(spark: SparkSession) =
     TextifyStage.payloads(spark, PagesGen.pages(spark, nPages))
 
@@ -64,10 +83,18 @@ object KgQueries {
       .withColumn("score", round(col("score"), 6))
   }
 
-  /** Triple extraction over the corpus payloads. */
+  /** Triple extraction over the corpus payloads. Under graft.Verify the
+    * parsed claim-rows and label frames are materialized so the DuckDB
+    * oracle replays the join/render half (see [[oracleFramesEnabled]]).
+    */
   def triples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Triples.fromLines(spark, payloads(spark).map(_.payload), labelsEn(spark).select("id", "label"))
+    val rows = payloads(spark).map(_.payload).flatMap { line =>
+      WikidataJson.parseLine(line).map(WikidataJson.toClaimRows(_, "en")).getOrElse(Seq.empty)
+    }.toDF()
+    Triples.fromClaimRows(spark,
+      materializeForOracle(rows, "kg4_claim_rows"),
+      materializeForOracle(labelsEn(spark).select("id", "label"), "kg4_labels"))
   }
 
   /** Canonicalization mapping (connected components over sameAs). */
@@ -103,47 +130,102 @@ object KgQueries {
     graft.triples.Triplets.rows(spark, payloads(spark).map(_.payload))
   }
 
-  /** KG corpus stats (A1, ref notebooks/Get_Wikidata_Stats.py:100-371):
-    * per-PID claim counts, per-P31-class instance counts, per-site sitelink
-    * counts — explode + groupBy/count, partial aggregation for free.
+  /** KG corpus stats (A1, ref notebooks/Get_Wikidata_Stats.py:100-371) — ALL
+    * of the reference's counter families, emitted from ONE narrow pass over
+    * the corpus into a single (stat, key) groupBy/count (map-side partial
+    * aggregation for free; one shuffle total):
+    *
+    *  - item_type: entities by id prefix (Q/P) — `item_type` (:180);
+    *  - claims_per_pid / instances_per_class / sitelinks_per_site (round-2
+    *    families, spec-pinned semantics: claim ROWS per pid, no qualifier
+    *    pids);
+    *  - wikipedia_per_lang: languages of `*wiki` sitelinks, plus the 'total'
+    *    row counting entities with ≥1 wikipedia link (`wikipedia_lang`,
+    *    :341,359);
+    *  - labels_per_lang / descs_per_lang / labeldesc_per_lang: label langs,
+    *    description langs, and their intersection per entity
+    *    (`wikidata_label_lang`/`wikidata_desc_lang`/`wikidata_lang`,
+    *    :344-350);
+    *  - *_wikionly: labeldesc/claims/instances restricted to entities with a
+    *    wikipedia link (`wikidata_lang_wikionly`/`claim_pid_wikionly`/
+    *    `instance_of_wikionly`, :362-368);
+    *  - labeldesc_wikipedia_per_lang: labeldesc langs that are ALSO wikipedia
+    *    langs of the same entity (`wikidata_wikipedia_lang`, :371).
     *
     * Counting runs over the DB-cleaned claims of EVERY item (type ==
     * statement, deprecated dropped — the reference's stats walk the stored
     * `wikidata` table), NOT over the statement-extractor rows: those gate on
-    * `descriptions[lang]` and drop novalue/somalue claims, which would
-    * silently undercount entities the extractor skips.
+    * `descriptions[lang]` and drop novalue/somevalue claims, which would
+    * silently undercount entities the extractor skips. Like the reference,
+    * every family except item_type gates on id prefix 'Q' (:182).
     */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val claimRows = payloads(spark).flatMap { pp =>
+    import scala.jdk.CollectionConverters._
+    val statRows = payloads(spark).flatMap { pp =>
       WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
-        WikidataJson.normalize(item, "en").claims.flatMap { cg =>
-          cg.claims.map { c =>
-            val qv =
-              if (c.mainsnak.datatype == "wikibase-item" && c.mainsnak.valueJson != null) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val id = item.path("id").asText("")
+        if (id.nonEmpty) out += (("item_type", id.substring(0, 1)))
+        if (id.startsWith("Q")) {
+          def langKeys(field: String): Seq[String] = {
+            val o = item.path(field)
+            if (o.isObject) o.properties().iterator().asScala.map(_.getKey).toSeq
+            else Seq.empty
+          }
+          val sites = langKeys("sitelinks")
+          sites.foreach(s => out += (("sitelinks_per_site", s)))
+          // ref get_wikipedia_lang: s.split('wiki')[0] — everything before
+          // the FIRST 'wiki', gated on endswith('wiki') (:100-108)
+          val wikiLangs = sites.filter(_.endsWith("wiki"))
+            .map(s => s.substring(0, s.indexOf("wiki"))).distinct
+          val hasWiki = wikiLangs.nonEmpty
+          wikiLangs.foreach(l => out += (("wikipedia_per_lang", l)))
+          if (hasWiki) out += (("wikipedia_per_lang", "total"))
+
+          val labelLangs = langKeys("labels")
+          val descLangs = langKeys("descriptions")
+          labelLangs.foreach(l => out += (("labels_per_lang", l)))
+          descLangs.foreach(l => out += (("descs_per_lang", l)))
+          val both = labelLangs.filter(descLangs.toSet)
+          both.foreach { l =>
+            out += (("labeldesc_per_lang", l))
+            if (hasWiki) out += (("labeldesc_per_lang_wikionly", l))
+          }
+          val wikiSet = wikiLangs.toSet
+          both.filter(wikiSet).foreach(l => out += (("labeldesc_wikipedia_per_lang", l)))
+
+          WikidataJson.normalize(item, "en").claims.foreach { cg =>
+            cg.claims.foreach { c =>
+              out += (("claims_per_pid", cg.pid))
+              if (hasWiki) out += (("claims_per_pid_wikionly", cg.pid))
+              if (cg.pid == "P31" && c.mainsnak.datatype == "wikibase-item"
+                && c.mainsnak.valueJson != null) {
                 val n = WikidataJson.mapper.readTree(c.mainsnak.valueJson)
-                if (n.has("id")) n.get("id").asText() else null
-              } else null
-            (cg.pid, qv)
+                if (n.has("id")) {
+                  val vq = n.get("id").asText()
+                  out += (("instances_per_class", vq))
+                  if (hasWiki) out += (("instances_per_class_wikionly", vq))
+                }
+              }
+            }
           }
         }
+        out
       }
-    }.toDF("pid", "value_qid")
-    val perPid = claimRows.groupBy(col("pid").as("key"))
-      .agg(count(lit(1)).as("n")).withColumn("stat", lit("claims_per_pid"))
-    val perClass = claimRows.filter(col("pid") === "P31" && col("value_qid").isNotNull)
-      .groupBy(col("value_qid").as("key"))
-      .agg(count(lit(1)).as("n")).withColumn("stat", lit("instances_per_class"))
-    val perSite = payloads(spark).flatMap { pp =>
-      WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
-        val sl = item.path("sitelinks")
-        if (!sl.isObject) Seq.empty[String]
-        else { import scala.jdk.CollectionConverters._; sl.properties().asScala.map(_.getKey).toSeq }
-      }
-    }.toDF("key").groupBy("key")
-      .agg(count(lit(1)).as("n")).withColumn("stat", lit("sitelinks_per_site"))
-    perPid.unionByName(perClass).unionByName(perSite).select("stat", "key", "n")
+    }.toDF("stat", "key")
+    materializeForOracle(statRows, "kg9_stat_rows")
+      .groupBy("stat", "key").agg(count(lit(1)).as("n"))
+      .select("stat", "key", "n")
   }
+
+  /** Stage-6 HF export rows over the corpus (S13 row semantics, golden-pinned
+    * by HfExportGoldenSpec): (split, id, labels, descriptions, aliases,
+    * sitelinks, claims) with compact-json string columns. rowsPerSplit sized
+    * so the bench corpus exercises multiple splits.
+    */
+  def hfExport(spark: SparkSession, dir: String): DataFrame =
+    graft.export.HfExport.export(spark, payloads(spark), rowsPerSplit = 500L)
 
   /** Chunk explode (P9/T6): entity text → token-budget chunks with
     * deterministic ids `qid_lang_chunkIdx` (ref: docker/3:74-88). Label

@@ -36,6 +36,36 @@ class KgQueriesSpec extends AnyFunSuite {
     // instance counts partition the P31 claim rows
     val instSum = stats.collect { case (("instances_per_class", _), c) => c }.sum
     assert(instSum == p31)
+
+    // --- per-language families (ref Get_Wikidata_Stats.py:335-371) ---
+    val withWiki = (0L until n).count(_ % 10 != 7)
+    // item_type: n item pages (Q) + one page per property (P)
+    assert(stats(("item_type", "Q")) == n)
+    assert(stats(("item_type", "P")) == PagesGen.properties.size)
+    // labels: en/ar always, mul every 5th, de except every 6th≡2
+    assert(stats(("labels_per_lang", "en")) == n)
+    assert(stats(("labels_per_lang", "ar")) == n)
+    assert(stats(("labels_per_lang", "mul")) == (0L until n).count(_ % 5 == 0))
+    assert(stats(("labels_per_lang", "de")) == (0L until n).count(_ % 6 != 2))
+    // descriptions: en/de/ar on every item
+    Seq("en", "de", "ar").foreach(l => assert(stats(("descs_per_lang", l)) == n, l))
+    // label∩desc: mul has no description, de misses every 6th≡2
+    assert(stats(("labeldesc_per_lang", "en")) == n)
+    assert(stats(("labeldesc_per_lang", "de")) == (0L until n).count(_ % 6 != 2))
+    assert(!stats.contains(("labeldesc_per_lang", "mul")))
+    // wikipedia langs: only enwiki exists; 'total' = entities with ≥1 link
+    assert(stats(("wikipedia_per_lang", "en")) == withWiki)
+    assert(stats(("wikipedia_per_lang", "total")) == withWiki)
+    // wiki-only variants gate every family on ≥1 wikipedia link
+    assert(stats(("labeldesc_per_lang_wikionly", "en")) == withWiki)
+    assert(stats(("labeldesc_per_lang_wikionly", "de")) ==
+      (0L until n).count(i => i % 6 != 2 && i % 10 != 7))
+    assert(stats(("claims_per_pid_wikionly", "P17")) == withWiki)
+    val instWikiSum = stats.collect { case (("instances_per_class_wikionly", _), c) => c }.sum
+    assert(instWikiSum == withWiki + (0L until n).count(i => i % 7 == 0 && i % 10 != 7))
+    // labeldesc ∩ wikipedia langs: en is the only wikipedia lang
+    assert(stats(("labeldesc_wikipedia_per_lang", "en")) == withWiki)
+    assert(!stats.contains(("labeldesc_wikipedia_per_lang", "de")))
   }
 
   test("kg8 triplets: main/qualifier/reference parts match generator rules") {

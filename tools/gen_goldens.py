@@ -679,3 +679,101 @@ with open(f"{OUT}/goldens/matrix/floats.json", "w") as f:
 
 print("goldens written to", os.path.abspath(f"{OUT}/goldens"))
 print("fixtures:", len(FIXTURES), "entities;", len(LABELS), "labels")
+
+
+# --------------------------------------------------------------------------
+# 9. Stage-6 HF export goldens: execute the reference's OWN clean_entity /
+#    labels-splice chain (src/wikidataLabelsDB.py:140-318) + the docker/6
+#    run.py:27-34 row dumps over dump-SHAPED fixtures (snaks carry their
+#    'property' key like the real dump, unlike the minimal sv() fixtures).
+# --------------------------------------------------------------------------
+
+import copy
+import re as _re
+
+hfl_src = extract_functions(
+    f"{REF}/src/wikidataLabelsDB.py",
+    ["_remove_keys", "_clean_datavalue", "_gather_labels_ids",
+     "_add_labels_to_claims", "add_labels_batched", "clean_labels",
+     "clean_entity", "is_in_wikipedia", "get_labels", "get_labels_list"],
+    class_name="WikidataLabels")
+
+class _HfShim:
+    pass
+hf_shim = _HfShim()
+hf_ns = {"json": json, "re": _re, "WikidataLabels": hf_shim}
+exec(hfl_src, hf_ns)
+for name in ["_remove_keys", "_clean_datavalue", "_gather_labels_ids",
+             "_add_labels_to_claims", "add_labels_batched", "clean_labels",
+             "clean_entity", "is_in_wikipedia"]:
+    setattr(hf_shim, name, hf_ns[name])
+
+# dump-shaped HF fixtures: deep-copied FIXTURES with snak-level 'property'
+# keys (mainsnak / qualifiers / references — the real dump shape the labels
+# splice keys on), plus one splice-probe entity exercising label hit,
+# bare-string-collapse hit, unit-label hit, and miss paths.
+def _add_property_keys(e):
+    for pid, claims in e.get("claims", {}).items():
+        for c in claims:
+            if "mainsnak" in c:
+                c["mainsnak"]["property"] = pid
+            for qpid, snaks in c.get("qualifiers", {}).items():
+                for s in snaks:
+                    s["property"] = qpid
+            for ref in c.get("references", []) or []:
+                snaks = ref.get("snaks", ref)  # fixtures store refs as {pid: [snaks]}
+                if isinstance(snaks, dict):
+                    for rpid, rsnaks in snaks.items():
+                        if isinstance(rsnaks, list):
+                            for s in rsnaks:
+                                if isinstance(s, dict):
+                                    s["property"] = rpid
+    return e
+
+HF_FIXTURES = [_add_property_keys(copy.deepcopy(e)) for e in FIXTURES]
+HF_FIXTURES.append(_add_property_keys(entity(
+    "Q90020",
+    labels=lv("en", "HF Splice Probe"),
+    descriptions=lv("en", "exercises every labels-splice path"),
+    sitelinks={"enwiki": {"site": "enwiki", "title": "HF Splice Probe",
+                          "badges": ["Q17437796"]}},
+    claims={
+        # datavalue labels: single-lang fixture -> BARE-STRING collapse quirk
+        "P31": [claim(item_v("Q90010"))],
+        # datavalue labels: multi-lang fixture -> dict hit
+        "P17": [claim(item_v("Q90001"))],
+        # unit-labels hit: unit is a fixture entity
+        "P2046": [claim(qty_v("+5", "Q90012"))],
+        # everything-missing path: value + unit absent from the DB
+        "P1082": [claim(qty_v("+7", "Q77777"))],
+    })))
+
+# labels DB analog: pass 1 harvests clean_labels for EVERY fixture entity
+HF_LABELS_DB = {e["id"]: hf_shim.clean_labels(copy.deepcopy(e["labels"]))
+                for e in HF_FIXTURES}
+hf_ns["get_labels"] = lambda id: HF_LABELS_DB.get(id, {})
+hf_ns["get_labels_list"] = lambda ids: {i: HF_LABELS_DB[i] for i in ids if i in HF_LABELS_DB}
+hf_shim.get_labels = hf_ns["get_labels"]
+hf_shim.get_labels_list = hf_ns["get_labels_list"]
+
+hf_rows = []
+for e in HF_FIXTURES:
+    if hf_shim.is_in_wikipedia(e):
+        ce = hf_shim.clean_entity(copy.deepcopy(e))
+        hf_rows.append({
+            "id": ce["id"],
+            "labels": json.dumps(ce["labels"], separators=(",", ":")),
+            "descriptions": json.dumps(ce["descriptions"], separators=(",", ":")),
+            "aliases": json.dumps(ce["aliases"], separators=(",", ":")),
+            "sitelinks": json.dumps(ce["sitelinks"], separators=(",", ":")),
+            "claims": json.dumps(ce["claims"], separators=(",", ":")),
+        })
+
+with open(f"{OUT}/fixtures/hf_entities.jsonl", "w") as f:
+    f.write("[\n")
+    for e in HF_FIXTURES:
+        f.write(json.dumps(e, separators=(",", ":"), ensure_ascii=False) + ",\n")
+    f.write("]\n")
+with open(f"{OUT}/goldens/hf_export.json", "w") as f:
+    json.dump(hf_rows, f, ensure_ascii=False, indent=1)
+print("hf export goldens:", len(hf_rows), "rows of", len(HF_FIXTURES), "entities")
