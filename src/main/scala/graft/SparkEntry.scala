@@ -597,5 +597,101 @@ object SparkEntry {
       """SELECT stat, key, count(*) AS n
         |FROM read_parquet('/root/repo/target/oracle_frames/kg9_stat_rows/*.parquet')
         |GROUP BY stat, key""".stripMargin,
+    // kg2: the trie match is the non-SQL kernel; the oracle replays the
+    // candidate explode (self-drop + sort + cap 50 + unnest) from the
+    // materialized resolved-mentions frame (mirrors Linker.explodeCandidates)
+    "kg2_mentions" ->
+      """SELECT url, surface, "begin", "end",
+        |  unnest(list_slice(list_sort(list_filter(qids, q -> q != self_id)), 1, 50)) AS qid,
+        |  context
+        |FROM read_parquet('/root/repo/target/oracle_frames/kg2_mentions_raw/*.parquet')""".stripMargin,
+    // kg3: candidate equi-join + bit-exact cosine + per-mention top-5 window
+    // over the materialized (ctx-embedded mentions, entity vecs) frames —
+    // mirrors Linker.scoreTopK
+    "kg3_links" ->
+      s"""WITH m AS (
+         |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg3_mentions/*.parquet')),
+         |v AS (
+         |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg3_vecs/*.parquet')),
+         |s AS (
+         |  SELECT m.url, m."begin", m."end", m.surface, m.qid,
+         |    CASE WHEN sqrt(${sqlDot("ctx_vec", "ctx_vec")}) * sqrt(${sqlDot("vec", "vec")}) = 0
+         |         THEN 0.0
+         |         ELSE ${sqlDot("ctx_vec", "vec")}
+         |           / (sqrt(${sqlDot("ctx_vec", "ctx_vec")}) * sqrt(${sqlDot("vec", "vec")})) END
+         |      AS score_raw
+         |  FROM m JOIN v ON m.qid = v.id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY url, "begin"
+         |    ORDER BY score_raw DESC, qid ASC) AS rank
+         |  FROM s)
+         |SELECT url, "begin", "end", surface, qid, round(score_raw, 6) AS score, rank
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // kg5: connected components recomputed INDEPENDENTLY from the
+    // materialized edge/node frames — recursive-CTE transitive closure +
+    // min-label, a from-first-principles check of the pointer-jumped
+    // iterative-join implementation
+    "kg5_canon" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT src, dst FROM read_parquet('/root/repo/target/oracle_frames/kg5_edges/*.parquet')),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |n AS (
+        |  SELECT id FROM read_parquet('/root/repo/target/oracle_frames/kg5_nodes/*.parquet')
+        |  UNION SELECT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id AS r FROM n
+        |  UNION
+        |  SELECT reach.id, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id HAVING min(r) <> id""".stripMargin,
+    // kg7: the kg4 join/render replay filtered to one subject key (the
+    // url→qid contract pins the literal)
+    "kg7_triples_for_url" ->
+      """WITH r AS (
+        |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg4_claim_rows/*.parquet')),
+        |l AS (
+        |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg4_labels/*.parquet')),
+        |j AS (
+        |  SELECT r.*, p.label AS _plabel, s.label AS _slabel, v.label AS _vlabel,
+        |    regexp_replace(regexp_replace(v.label, '^b''', ''), '''\z', '') AS stripped
+        |  FROM r
+        |  JOIN l p ON r.pid = p.id AND p.id LIKE 'P%'
+        |  JOIN l s ON r.qid = s.id
+        |  LEFT JOIN l v ON r.isQidValue AND r.valueScalar = v.id)
+        |SELECT
+        |  md5(concat_ws('|', qid, pid, claimIdx, valueScalar)) AS uuid,
+        |  qid, pid,
+        |  translate(valueScalar, '"', '''') AS value,
+        |  translate(_slabel, '"', '''') AS qid_label,
+        |  translate(itemDesc, '"', '''') AS item_label,
+        |  translate(_plabel, '"', '''') AS property_label,
+        |  translate(CASE WHEN isQidValue THEN stripped ELSE valueScalar END,
+        |    '"', '''') AS value_content,
+        |  translate(concat_ws(' ', itemDesc, _plabel,
+        |    CASE WHEN isQidValue THEN stripped ELSE valueScalar END),
+        |    '"', '''') AS statement,
+        |  'https://fixture.test/wiki/Q100007' AS url
+        |FROM j
+        |WHERE qid = 'Q100007'
+        |  AND (NOT isQidValue OR (_vlabel IS NOT NULL AND length(stripped) > 0))""".stripMargin,
+    // lid1: the per-doc trigram/fingerprint kernel is materialized as
+    // (doc × candidate-language) score rows; the oracle replays the argmax
+    // (window max + min-lang tie-break, 'und' when nothing scores above 0)
+    "lid1_langid_fingerprint" ->
+      """WITH s AS (
+        |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/lid1_scores/*.parquet')),
+        |m AS (SELECT *, max(score) OVER (PARTITION BY doc_id) AS ms FROM s)
+        |SELECT doc_id, lang,
+        |  CASE WHEN max(ms) <= 0 THEN 'und' ELSE min(cand_lang) END AS predicted_lang,
+        |  fingerprint, winnowed_min
+        |FROM m WHERE score = ms
+        |GROUP BY doc_id, lang, fingerprint, winnowed_min""".stripMargin,
+    // mm1: the stub decode is the non-SQL kernel; the oracle replays the
+    // per-kind aggregation from the materialized decoded-metadata frames
+    "mm1_media_stats" ->
+      """SELECT 'image' AS kind, count(*) AS n, CAST(sum(width) AS BIGINT) AS sum_w
+        |FROM read_parquet('/root/repo/target/oracle_frames/mm1_images/*.parquet')
+        |UNION ALL
+        |SELECT 'video_frames' AS kind, count(*) AS n, CAST(sum(t_ms) AS BIGINT) AS sum_w
+        |FROM read_parquet('/root/repo/target/oracle_frames/mm1_frames/*.parquet')""".stripMargin,
   )
 }

@@ -40,23 +40,42 @@ object Linker {
     * only the small context window travels.
     */
   def mentions(spark: SparkSession, texts: DataFrame, trie: Broadcast[AhoCorasick],
-               maxCandidates: Int = 50): DataFrame = {
+               maxCandidates: Int = 50): DataFrame =
+    explodeCandidates(resolvedRows(spark, texts, trie), maxCandidates)
+
+  /** Resolved (leftmost-longest) mentions BEFORE the candidate explode:
+    * (url, self_id, surface, begin, end, qids, context) — one row per
+    * mention span with its full candidate array. The trie match is the
+    * non-SQL kernel; everything after this frame is relational.
+    */
+  private def resolvedRows(spark: SparkSession, texts: DataFrame,
+                           trie: Broadcast[AhoCorasick]): DataFrame = {
     import spark.implicits._
     texts.select("url", "id", "text").as[(String, String, String)]
       .flatMap { case (url, selfId, text) =>
-        trie.value.findMentions(text).flatMap { m =>
+        trie.value.findMentions(text).map { m =>
           val ctx = text.substring(
             math.max(0, m.begin - contextChars),
             math.min(text.length, m.end + contextChars))
-          // bounded candidate set (deterministic: sorted before the cap) —
-          // uncapped fan-out on a hyper-ambiguous surface is the mention-side
-          // skew hazard at corpus scale
-          m.qids.filter(_ != selfId).sorted.take(maxCandidates)
-            .map(q => (url, m.surface, m.begin, m.end, q, ctx))
+          (url, selfId, m.surface, m.begin, m.end, m.qids, ctx)
         }
       }
-      .toDF("url", "surface", "begin", "end", "qid", "context")
+      .toDF("url", "self_id", "surface", "begin", "end", "qids", "context")
   }
+
+  /** The candidate explode as a Catalyst expression chain: drop the page's
+    * own entity, sort for determinism, cap the fan-out (uncapped explosion
+    * on a hyper-ambiguous surface is the mention-side skew hazard at corpus
+    * scale), explode. Pure column functions — codegen'd, and replayable by
+    * the DuckDB oracle from a materialized resolved-mentions frame (kg2).
+    */
+  def explodeCandidates(resolved: DataFrame, maxCandidates: Int = 50): DataFrame =
+    resolved.select(
+      col("url"), col("surface"), col("begin"), col("end"),
+      explode(slice(array_sort(filter(col("qids"), q => q =!= col("self_id"))),
+        1, maxCandidates)).as("qid"),
+      col("context"))
+      .select("url", "surface", "begin", "end", "qid", "context")
 
   /** Mention detection with a broadcast-size guard (SURVEY.md §7.4): the
     * surface dictionary `dict(surface, ids)` stays distributed; one tiny agg
@@ -73,7 +92,17 @@ object Linker {
     */
   def mentionsSharded(spark: SparkSession, texts: DataFrame, dict: DataFrame,
                       broadcastBudgetChars: Long = DefaultBroadcastBudgetChars,
-                      maxCandidates: Int = 50): DataFrame = {
+                      maxCandidates: Int = 50): DataFrame =
+    explodeCandidates(
+      resolvedMentions(spark, texts, dict, broadcastBudgetChars), maxCandidates)
+
+  /** The sharded match+resolve up to (but not including) the candidate
+    * explode: (url, self_id, surface, begin, end, qids, context). This is
+    * the kg2 oracle-frame seam — [[explodeCandidates]] is the relational
+    * half DuckDB replays.
+    */
+  def resolvedMentions(spark: SparkSession, texts: DataFrame, dict: DataFrame,
+                       broadcastBudgetChars: Long = DefaultBroadcastBudgetChars): DataFrame = {
     import spark.implicits._
     val stats = dict.agg(coalesce(sum(length(col("surface"))), lit(0L)).cast("long")).collect()(0)
     val totalChars = stats.getLong(0)
@@ -81,7 +110,7 @@ object Linker {
     if (nShards == 1) {
       val entries = dict.as[(String, Seq[String])].collect()
       val trie = spark.sparkContext.broadcast(AhoCorasick.build(entries.map(d => d._1 -> d._2)))
-      return mentions(spark, texts, trie, maxCandidates)
+      return resolvedRows(spark, texts, trie)
     }
 
     val textsP = texts.select("url", "id", "text").persist()
@@ -108,13 +137,12 @@ object Linker {
         val bySpan = hits.map(h => (h._4, h._5) -> h).toMap
         AhoCorasick.resolveLeftmostLongest(
           hits.map(h => graft.mention.Mention(h._3, h._6, h._4, h._5)))
-          .iterator.flatMap { m =>
+          .iterator.map { m =>
             val (_, _, surface, begin, end, qids, ctx) = bySpan((m.begin, m.end))
-            qids.filter(_ != selfId).sorted.take(maxCandidates)
-              .map(q => (url, surface, begin, end, q, ctx))
+            (url, selfId, surface, begin, end, qids, ctx)
           }
       }
-      .toDF("url", "surface", "begin", "end", "qid", "context")
+      .toDF("url", "self_id", "surface", "begin", "end", "qids", "context")
     // materialize the (small) resolved mention rows eagerly so the (big)
     // texts projection can be dropped before returning — otherwise every
     // sharded run in a long-lived driver leaks one cached texts copy.
@@ -126,14 +154,14 @@ object Linker {
     out
   }
 
-  /** Score candidates and keep top-K per mention.
-    * Output: (url, begin, end, surface, qid, score, rank).
+  /** The non-SQL half of linking: each mention's local context embedded
+    * map-side in 64-row batches (the mapPartitions shape a real encoder
+    * drops into). Output: (url, surface, begin, end, qid, ctx_vec).
     */
-  def link(spark: SparkSession, mentionsDf: DataFrame,
-           entityVecs: DataFrame, k: Int = 50): DataFrame = {
+  def contextVecs(mentionsDf: DataFrame): DataFrame = {
+    val spark = mentionsDf.sparkSession
     import spark.implicits._
-
-    val withContext = mentionsDf
+    mentionsDf
       .select(col("url"), col("surface"), col("begin"), col("end"), col("qid"), col("context"))
       .as[(String, String, Int, Int, String, String)]
       .mapPartitions { it =>
@@ -143,7 +171,14 @@ object Linker {
         }
       }
       .toDF("url", "surface", "begin", "end", "qid", "ctx_vec")
+  }
 
+  /** The relational half: resolve candidates by equi-join on the candidate
+    * QID (the vec table never broadcasts), cosine-score, keep top-K per
+    * mention via a (url, begin) window. DuckDB-oracle-replayable given the
+    * two input frames (kg3's hard-oracle path).
+    */
+  def scoreTopK(withContext: DataFrame, entityVecs: DataFrame, k: Int): DataFrame = {
     val scored = withContext
       .join(entityVecs.select(col("id").as("qid"), col("vec")), Seq("qid"))
       .withColumn("score", graft.operators.Similarity.cosineCol(col("ctx_vec"), col("vec")))
@@ -154,4 +189,11 @@ object Linker {
       .filter(col("rank") <= k)
       .select("url", "begin", "end", "surface", "qid", "score", "rank")
   }
+
+  /** Score candidates and keep top-K per mention.
+    * Output: (url, begin, end, surface, qid, score, rank).
+    */
+  def link(spark: SparkSession, mentionsDf: DataFrame,
+           entityVecs: DataFrame, k: Int = 50): DataFrame =
+    scoreTopK(contextVecs(mentionsDf), entityVecs, k)
 }

@@ -91,11 +91,18 @@ object Media {
 
   /** Summary query: decoded media stats per kind (the queries() entry). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    import graft.operators.OracleFrames
     val a = assets(spark, dir)
-    val img = decodeImages(a).toDF()
+    // under graft.Verify the decoded metadata rows are materialized so the
+    // DuckDB oracle replays the aggregation half (the stub decode itself is
+    // the documented non-SQL kernel)
+    val imgRows = OracleFrames.materialize(
+      decodeImages(a).toDF().select("asset_id", "width", "height", "channels"), "mm1_images")
+    val frameRows = OracleFrames.materialize(
+      sampleFrames(a).toDF().select("asset_id", "frame_idx", "t_ms"), "mm1_frames")
+    val img = imgRows
       .agg(count(lit(1)).as("n"), sum(col("width").cast("long")).as("sum_w")).withColumn("kind", lit("image"))
-    val frames = sampleFrames(a).toDF()
+    val frames = frameRows
       .agg(count(lit(1)).as("n"), sum(col("t_ms")).as("sum_w")).withColumn("kind", lit("video_frames"))
     img.unionByName(frames).select("kind", "n", "sum_w")
   }

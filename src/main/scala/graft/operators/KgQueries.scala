@@ -20,23 +20,11 @@ object KgQueries {
   val nPages = 1500L
 
   /** The kg corpus is self-generated, so DuckDB has no parquet to oracle
-    * against — EXCEPT when the deterministic pre-join frames are materialized
-    * for it. graft.Verify sets `graft.oracle.frames=1`: kg4/kg9 then write
-    * their claim-rows/labels/stat-rows inputs under [[oracleFramesDir]] and
-    * READ THEM BACK, so the engine consumes byte-for-byte what the oracle's
-    * `read_parquet` replays — turning the relational halves (joins, render
-    * columns, aggregation) into hard rows+schema+hash checks. Bench leaves
-    * the flag unset (no extra I/O in timed runs).
+    * against — EXCEPT when the deterministic pre-relational frames are
+    * materialized for it; see [[OracleFrames]].
     */
-  def oracleFramesEnabled: Boolean = sys.props.get("graft.oracle.frames").contains("1")
-  val oracleFramesDir = "/root/repo/target/oracle_frames"
-
   private def materializeForOracle(df: DataFrame, name: String): DataFrame =
-    if (!oracleFramesEnabled) df
-    else {
-      df.coalesce(4).write.mode("overwrite").parquet(s"$oracleFramesDir/$name")
-      df.sparkSession.read.parquet(s"$oracleFramesDir/$name")
-    }
+    OracleFrames.materialize(df, name)
 
   private def payloads(spark: SparkSession) =
     TextifyStage.payloads(spark, PagesGen.pages(spark, nPages))
@@ -61,9 +49,16 @@ object KgQueries {
       .filter(length(col("surface")) > 0)
       .groupBy("surface").agg(collect_list("id").as("ids"))
 
-  /** Mention detection over already-extracted texts. */
+  /** Mention detection over already-extracted texts. Under graft.Verify the
+    * resolved pre-explode mention frame (url, self_id, surface, span, qids,
+    * context) is materialized: the trie match is the non-SQL kernel, and the
+    * DuckDB oracle replays the candidate explode (self-drop + sort + cap +
+    * unnest) as kg2's hard check.
+    */
   private def mentionsOf(spark: SparkSession, texts: DataFrame, labelsDf: DataFrame): DataFrame =
-    Linker.mentionsSharded(spark, texts, dictOf(labelsDf))
+    Linker.explodeCandidates(
+      materializeForOracle(
+        Linker.resolvedMentions(spark, texts, dictOf(labelsDf)), "kg2_mentions_raw"))
 
   /** Mention detection over the extracted text. */
   def mentions(spark: SparkSession, dir: String): DataFrame =
@@ -72,6 +67,10 @@ object KgQueries {
   /** Entity-link scoring: top-K per mention. The texts dataset is computed
     * once and persisted — mention detection AND entity-vector embedding both
     * read it, so extract/textify no longer runs twice per links query.
+    * Under graft.Verify the context-embedded mention frame and the entity
+    * vec table are materialized, so the DuckDB oracle replays the relational
+    * half (candidate equi-join + bit-exact cosine + per-mention top-K
+    * window) as a hard rows+schema+hash check.
     */
   def links(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -79,13 +78,16 @@ object KgQueries {
     val texts = TextifyStage.render(spark, payloads(spark), labelsDf).persist()
     val entityVecs = Embedder.embedDataset(
       texts.select("id", "text").as[(String, String)]).toDF("id", "vec")
-    Linker.link(spark, mentionsOf(spark, texts, labelsDf), entityVecs, k = 5)
+    Linker.scoreTopK(
+      materializeForOracle(Linker.contextVecs(mentionsOf(spark, texts, labelsDf)), "kg3_mentions"),
+      materializeForOracle(entityVecs, "kg3_vecs"),
+      k = 5)
       .withColumn("score", round(col("score"), 6))
   }
 
   /** Triple extraction over the corpus payloads. Under graft.Verify the
     * parsed claim-rows and label frames are materialized so the DuckDB
-    * oracle replays the join/render half (see [[oracleFramesEnabled]]).
+    * oracle replays the join/render half (see [[OracleFrames]]).
     */
   def triples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -97,7 +99,12 @@ object KgQueries {
       materializeForOracle(labelsEn(spark).select("id", "label"), "kg4_labels"))
   }
 
-  /** Canonicalization mapping (connected components over sameAs). */
+  /** Canonicalization mapping (connected components over sameAs). Under
+    * graft.Verify the edge and node frames are materialized and the DuckDB
+    * oracle recomputes the components INDEPENDENTLY (recursive-CTE
+    * transitive closure + min-label) — a from-first-principles check of the
+    * pointer-jumped iterative-join implementation, not a replay of it.
+    */
   def canon(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sameAs = payloads(spark)
@@ -105,7 +112,9 @@ object KgQueries {
       .filter(r => r.pid == PagesGen.sameAsPid && r.isQidValue)
       .map(r => (r.qid, r.valueScalar)).toDF("src", "dst")
     val nodes = labelsEn(spark).select("id")
-    graft.canon.ConnectedComponents.run(spark, sameAs, nodes)
+    graft.canon.ConnectedComponents.run(spark,
+      materializeForOracle(sameAs, "kg5_edges"),
+      materializeForOracle(nodes, "kg5_nodes"))
       .filter(col("id") =!= col("component")) // only non-trivial mappings
   }
 

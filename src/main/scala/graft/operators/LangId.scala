@@ -53,18 +53,28 @@ object LangId {
       l -> (counts, math.sqrt(counts.values.map(v => v.toDouble * v).sum))
     }
 
+  /** Cosine of `counts` against every language profile — the shared kernel
+    * behind [[detect]] (scalar argmax) and [[scoreDocs]] (per-candidate
+    * rows for the DuckDB oracle).
+    */
+  private def profileScores(counts: scala.collection.Map[String, Int]): Seq[(String, Double)] = {
+    val norm = math.sqrt(counts.values.map(v => v.toDouble * v).sum)
+    profiles.toSeq.map { case (lang, (prof, pnorm)) =>
+      var dot = 0.0
+      counts.foreach { case (g, c) => prof.get(g).foreach(p => dot += c.toDouble * p) }
+      lang -> (if (norm * pnorm == 0) 0.0 else dot / (norm * pnorm))
+    }
+  }
+
   /** Predict the language of `text`; "und" = undetermined (too short / no
-    * overlap with any profile).
+    * overlap with any profile). Tie-break: the lexicographically smallest
+    * language among those at the max score.
     */
   def detect(text: String): String = {
     val counts = trigramCounts(text)
     if (counts.isEmpty) return "und"
-    val norm = math.sqrt(counts.values.map(v => v.toDouble * v).sum)
     var best = "und"; var bestScore = 0.0
-    profiles.foreach { case (lang, (prof, pnorm)) =>
-      var dot = 0.0
-      counts.foreach { case (g, c) => prof.get(g).foreach(p => dot += c.toDouble * p) }
-      val score = if (norm * pnorm == 0) 0.0 else dot / (norm * pnorm)
+    profileScores(counts).foreach { case (lang, score) =>
       if (score > bestScore || (score == bestScore && best != "und" && lang < best)) {
         best = lang; bestScore = score
       }
@@ -96,15 +106,43 @@ object LangId {
     (full, minH)
   }
 
-  /** queries() entry: predicted language + fingerprints per doc. */
-  def detectDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc kernel as rows: one row per document × candidate language
+    * with its profile-cosine score, plus the doc fingerprints (computed once
+    * per doc, repeated on each row). This is the lid1 oracle frame — the
+    * argmax/tie-break half that follows is pure SQL.
+    */
+  def scoreDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "lang", "text").as[(Long, String, String)]
-      .map { case (id, lang, text) =>
+      .flatMap { case (id, lang, text) =>
         val (fp, winnow) = fingerprint(text)
-        (id, lang, detect(text), fp, winnow)
+        val counts = trigramCounts(text)
+        val scores =
+          if (counts.isEmpty) profiles.keys.map(_ -> 0.0).toSeq
+          else profileScores(counts)
+        scores.map { case (cand, score) => (id, lang, fp, winnow, cand, score) }
       }
-      .toDF("doc_id", "lang", "predicted_lang", "fingerprint", "winnowed_min")
+      .toDF("doc_id", "lang", "fingerprint", "winnowed_min", "cand_lang", "score")
+  }
+
+  /** queries() entry: predicted language + fingerprints per doc. The argmax
+    * over candidate scores runs relationally (window max + min-lang
+    * tie-break, 'und' when nothing scores above zero) — the same semantics
+    * as [[detect]] (spec-pinned equal), and DuckDB-replayable from the
+    * materialized [[scoreDocs]] frame.
+    */
+  def detectDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = OracleFrames.materialize(scoreDocs(spark, dir), "lid1_scores")
+    val w = Window.partitionBy("doc_id")
+    scores
+      .withColumn("ms", max(col("score")).over(w))
+      .filter(col("score") === col("ms"))
+      .groupBy("doc_id", "lang", "fingerprint", "winnowed_min")
+      .agg(min(col("cand_lang")).as("cand"), max(col("score")).as("ms"))
+      .select(col("doc_id"), col("lang"),
+        when(col("ms") <= 0.0, "und").otherwise(col("cand")).as("predicted_lang"),
+        col("fingerprint"), col("winnowed_min"))
   }
 }

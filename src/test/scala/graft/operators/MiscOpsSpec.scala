@@ -40,6 +40,20 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(LangId.detect("xq") == "und")
   }
 
+  test("detectDocs relational argmax == scalar detect per document") {
+    // the lid1 path now runs the argmax relationally (window max + min-lang
+    // tie-break) so DuckDB can replay it; pin it to detect()'s semantics
+    val dir = "/root/testdata/sf0.001"
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = LangId.detectDocs(spark, dir)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(got.size == texts.size)
+    texts.foreach { case (id, t) =>
+      assert(got(id) == LangId.detect(t), s"doc $id")
+    }
+  }
+
   test("fingerprint: shift-stable winnowed min, edit changes full hash") {
     val t1 = "the quick brown fox jumps over the lazy dog repeatedly and often"
     val (f1, w1) = LangId.fingerprint(t1)
