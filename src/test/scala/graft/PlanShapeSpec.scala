@@ -82,6 +82,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("kg2: candidate explode is a narrow Generate (adds no shuffle over the resolved frame)") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val resolved = Seq(
+      ("u1", "Q1", "Berlin", 0, 6, Seq("Q2", "Q3", "Q1"), "ctx"),
+      ("u2", "Q9", "x", 1, 2, Seq[String](), "c"))
+      .toDF("url", "self_id", "surface", "begin", "end", "qids", "context")
+    val exploded = graft.link.Linker.explodeCandidates(resolved, maxCandidates = 50)
+    val p = exploded.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Generate"), p.take(1200)) // explode(slice(array_sort(filter(...))))
+    assert(!p.contains("Exchange"), "candidate explode must stay narrow:\n" + p.take(2000))
+    // semantics: self dropped, sorted, empty arrays vanish
+    assert(exploded.select("qid").as[String].collect().toSeq == Seq("Q2", "Q3"))
+  }
+
+  test("kg3: link scoring is an equi-join with the codegen'd fdot (no cartesian)") {
+    val p = planOf("kg3_links")
+    assert(p.contains("graft_fdot"), p.take(1200))
+    assert(p.contains("Window")) // per-mention top-K
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate resolution must be an equi-join on qid, not a nested-loop scan")
+  }
+
   test("s5: IVF probes broadcast; corpus side stays a single scan per stage") {
     val p = planOf("s5_ann_ivf")
     assert(p.contains("graft_fdot"), p.take(1200))
