@@ -685,6 +685,14 @@ object SparkEntry {
         |  fingerprint, winnowed_min
         |FROM m WHERE score = ms
         |GROUP BY doc_id, lang, fingerprint, winnowed_min""".stripMargin,
+    // kg10: the clean_entity + labels-splice + compact-json rendering is the
+    // non-SQL kernel (byte-exact golden-pinned); the oracle replays the
+    // sequential fixed-size split assignment (global row_number window).
+    // floor() because DuckDB CAST-to-INT rounds while Spark's truncates.
+    "kg10_hf_export" ->
+      """SELECT CAST(floor((row_number() OVER (ORDER BY id) - 1) / 500.0) AS INTEGER) AS split,
+        |  id, labels, descriptions, aliases, sitelinks, claims
+        |FROM read_parquet('/root/repo/target/oracle_frames/kg10_rows/*.parquet')""".stripMargin,
     // mm1: the stub decode is the non-SQL kernel; the oracle replays the
     // per-kind aggregation from the materialized decoded-metadata frames
     "mm1_media_stats" ->

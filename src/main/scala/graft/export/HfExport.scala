@@ -285,10 +285,12 @@ object HfExport {
       }
 
     // sequential fixed-size splits (the reference's FILE_SIZE discipline);
-    // see scaladoc: hash splits are the 10^12-row swap-in
+    // see scaladoc: hash splits are the 10^12-row swap-in. The rendered rows
+    // are the kg10 oracle frame: the JSON rendering above is the non-SQL
+    // kernel (golden-pinned), the split window below is DuckDB-replayed.
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("id"))
-    rows.toDF()
+    graft.operators.OracleFrames.materialize(rows.toDF(), "kg10_rows")
       .withColumn("split",
         ((row_number().over(w) - 1) / lit(rowsPerSplit)).cast("int"))
       .select("split", "id", "labels", "descriptions", "aliases", "sitelinks", "claims")

@@ -108,12 +108,16 @@ object Dedup {
 
     val l = buckets.select(col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
     val r = buckets.select(col("bucket"), col("doc_id").as("b"), col("sig").as("sigb"))
+    // similarity-filter BEFORE the (a,b) dedup shuffle: the estimate is a
+    // narrow map over the joined rows, so only pairs that pass it travel —
+    // at corpus scale the candidate stream is orders of magnitude larger
+    // than the survivor set
     l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
       .select(col("a"), col("b"),
         (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), bEq => bEq))
           .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("a", "b")
   }
 
   /** 64-bit SimHash per doc — typed map (single pass over tokens). */
@@ -164,11 +168,13 @@ object Dedup {
     }.reduce(_ unionByName _).persist() // feeds both self-join sides
     val l = blocks.select(col("block"), col("key"), col("doc_id").as("a"), col("sig").as("siga"))
     val r = blocks.select(col("block"), col("key"), col("doc_id").as("b"), col("sig").as("sigb"))
+    // hamming-filter before the (a,b) dedup shuffle — same ordering rule as
+    // the minhash path: only surviving pairs shuffle
     l.join(r, Seq("block", "key")).filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
       .select(col("a"), col("b"),
         bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("a", "b")
   }
 
   /** Exact n-gram Jaccard over all pairs sharing ≥1 shingle, via an

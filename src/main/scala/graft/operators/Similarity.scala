@@ -101,16 +101,18 @@ object Similarity {
       val q = withB.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
           col("_n").as("_qn"), col("bucket"))
+      // score INSIDE each table branch (narrow, vectors in hand) so the
+      // cross-table dedup shuffles only (qid, nid, cos) scalars — never the
+      // embedding arrays; the score is identical for a pair in every table,
+      // so dedup keeps a consistent row
       withB.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("qvec"), col("embedding"), col("_qn"), col("_n"))
+          cosineWithNorms(col("qvec"), col("embedding"), col("_qn"), col("_n")).as("cos"))
     }.reduce(_ unionByName _).dropDuplicates("query_id", "neighbor_id")
 
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     candidates
-      .select(col("query_id"), col("neighbor_id"),
-        cosineWithNorms(col("qvec"), col("embedding"), col("_qn"), col("_n")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -192,13 +194,17 @@ object Similarity {
       val withB = e.withColumn("bucket", lshBucket(col("embedding"), dimLen, bits, seed = 7L + t))
       val l = withB.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"), col("_n").as("_na"))
       val r = withB.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"), col("_n").as("_nb"))
+      // score + threshold inside the bucket join (narrow): only surviving
+      // (a, b, cos) scalar rows reach the cross-table dedup shuffle — the
+      // embedding arrays never shuffle, and the candidate stream (orders of
+      // magnitude larger than the survivor set at corpus scale) is pruned
+      // before it travels
       l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("va"), col("vb"), col("_na"), col("_nb"))
+        .select(col("a"), col("b"),
+          cosineWithNorms(col("va"), col("vb"), col("_na"), col("_nb")).as("cos"))
+        .filter(col("cos") >= threshold)
     }.reduce(_ unionByName _).dropDuplicates("a", "b")
 
-    pairs.select(col("a"), col("b"),
-        cosineWithNorms(col("va"), col("vb"), col("_na"), col("_nb")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    pairs.select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
 }
