@@ -685,6 +685,18 @@ object SparkEntry {
         |  fingerprint, winnowed_min
         |FROM m WHERE score = ms
         |GROUP BY doc_id, lang, fingerprint, winnowed_min""".stripMargin,
+    // kg6: the chunking kernel is the non-SQL half (golden-pinned); the
+    // oracle replays the explode + deterministic `qid_lang_idx` assignment
+    // from the materialized per-entity chunk arrays (lateral range join =
+    // posexplode; empty arrays vanish on both sides)
+    "kg6_chunks" ->
+      """WITH x AS (
+        |  SELECT qid, lang, unnest(chunks) AS text,
+        |    unnest(range(1, len(chunks) + 1)) AS i
+        |  FROM read_parquet('/root/repo/target/oracle_frames/kg6_chunk_arrays/*.parquet'))
+        |SELECT qid || '_' || lang || '_' || CAST(i AS VARCHAR) AS chunk_id,
+        |  qid, CAST(i AS INTEGER) AS chunk, text
+        |FROM x""".stripMargin,
     // kg10: the clean_entity + labels-splice + compact-json rendering is the
     // non-SQL kernel (byte-exact golden-pinned); the oracle replays the
     // sequential fixed-size split assignment (global row_number window).

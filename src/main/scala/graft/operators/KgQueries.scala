@@ -239,9 +239,15 @@ object KgQueries {
   /** Chunk explode (P9/T6): entity text → token-budget chunks with
     * deterministic ids `qid_lang_chunkIdx` (ref: docker/3:74-88). Label
     * resolution via the gather-join — no driver collect of the dictionary.
+    * Under graft.Verify the per-entity chunk arrays (the Scala chunking
+    * kernel, golden-pinned) are materialized and the DuckDB oracle replays
+    * the explode + id assignment.
     */
-  def chunks(spark: SparkSession, dir: String, maxTokens: Int = 60): DataFrame =
-    TextifyStage.renderChunks(spark, payloads(spark), labels(spark),
-        maxTokens, langOverride = Some("en"))
+  def chunks(spark: SparkSession, dir: String, maxTokens: Int = 60): DataFrame = {
+    val arrays = TextifyStage.chunkArrays(spark,
+      TextifyStage.withLabelMaps(spark, payloads(spark), labels(spark), _ => "en"),
+      maxTokens, langOverride = Some("en"))
+    TextifyStage.explodeChunks(materializeForOracle(arrays, "kg6_chunk_arrays"))
       .select(col("doc_id").as("chunk_id"), col("qid"), col("chunk"), col("text"))
+  }
 }

@@ -181,20 +181,37 @@ object TextifyStage {
     */
   def renderChunksResolved(spark: SparkSession,
                            resolved: Dataset[(PagePayload, Map[String, String])],
-                           maxTokens: Int, langOverride: Option[String] = None): DataFrame = {
+                           maxTokens: Int, langOverride: Option[String] = None): DataFrame =
+    explodeChunks(chunkArrays(spark, resolved, maxTokens, langOverride))
+
+  /** The non-SQL chunking kernel as one row per entity: (qid, lang,
+    * chunks array). The explode + deterministic id assignment that follows
+    * is relational — this frame is kg6's oracle seam.
+    */
+  def chunkArrays(spark: SparkSession,
+                  resolved: Dataset[(PagePayload, Map[String, String])],
+                  maxTokens: Int, langOverride: Option[String] = None): DataFrame = {
     import spark.implicits._
     val langOf: PagePayload => String = pp => langOverride.getOrElse(pp.lang)
     resolved.flatMap { case (pp, labelMap) =>
-      WikidataJson.parseLine(pp.payload).toSeq.flatMap { item =>
+      WikidataJson.parseLine(pp.payload).toSeq.map { item =>
         val lang = langOf(pp)
         val e = WikidataJson.normalize(item, LangVariant.dataLang(lang))
         val textifier = new Textifier(LangVariant(lang), labelMap.get)
         val tok = new graft.textify.SimpleTokenizer(8)
-        graft.textify.Chunker.chunkText(textifier, e, tok, maxTokens)
-          .zipWithIndex.map { case (c, i) =>
-            (s"${e.id}_${lang}_${i + 1}", e.id, lang, i + 1, c)
-          }
+        (e.id, lang, graft.textify.Chunker.chunkText(textifier, e, tok, maxTokens))
       }
-    }.toDF("doc_id", "qid", "lang", "chunk", "text")
+    }.toDF("qid", "lang", "chunks")
   }
+
+  /** Chunk explode + id assignment as Catalyst expressions (posexplode →
+    * `qid_lang_idx`): narrow, codegen-friendly, DuckDB-replayable.
+    * Entities with zero chunks vanish (posexplode of an empty array).
+    */
+  def explodeChunks(arrays: DataFrame): DataFrame =
+    arrays
+      .select(col("qid"), col("lang"), posexplode(col("chunks")).as(Seq("idx0", "text")))
+      .select(
+        concat_ws("_", col("qid"), col("lang"), col("idx0") + 1).as("doc_id"),
+        col("qid"), col("lang"), (col("idx0") + 1).as("chunk"), col("text"))
 }
