@@ -250,6 +250,35 @@ object HfExport {
     */
   def export(spark: SparkSession, payloads: Dataset[PagePayload],
              rowsPerSplit: Long = 1000000L): DataFrame = {
+    // sequential fixed-size splits (the reference's FILE_SIZE discipline);
+    // see scaladoc: hash splits are the 10^12-row swap-in. The rendered rows
+    // are the kg10 oracle frame: the JSON rendering is the non-SQL kernel
+    // (golden-pinned), the split window below is DuckDB-replayed.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("id"))
+    graft.operators.OracleFrames.materialize(renderRows(spark, payloads).toDF(), "kg10_rows")
+      .withColumn("split",
+        ((row_number().over(w) - 1) / lit(rowsPerSplit)).cast("int"))
+      .select("split", "id", "labels", "descriptions", "aliases", "sitelinks", "claims")
+  }
+
+  /** The 10^12-row split mode: `pmod(xxhash64(id), nSplits)` instead of the
+    * sequential window. Same rendered rows and columns, but split assignment
+    * is a narrow map — no global total order, which is the sequential mode's
+    * single-partition bottleneck at scale (that mode is kept because it is
+    * the reference's observable file discipline and the golden pins it).
+    */
+  def exportHashSplits(spark: SparkSession, payloads: Dataset[PagePayload],
+                       nSplits: Int): DataFrame =
+    renderRows(spark, payloads).toDF()
+      .withColumn("split", pmod(xxhash64(col("id")), lit(nSplits.toLong)).cast("int"))
+      .select("split", "id", "labels", "descriptions", "aliases", "sitelinks", "claims")
+
+  /** clean_entity + labels-splice + compact-json render over the corpus —
+    * shared by both split modes.
+    */
+  private def renderRows(spark: SparkSession,
+                         payloads: Dataset[PagePayload]): Dataset[HfRow] = {
     import spark.implicits._
 
     // pass 1 (labels DB analog): id → clean_labels(labels) as a JSON string
@@ -275,7 +304,7 @@ object HfExport {
       .agg(map_from_entries(collect_list(struct(col("ref"), col("llabels")))).as("lmap"))
       .as[(String, Map[String, String])]
 
-    val rows = payloads
+    payloads
       .joinWith(labelMaps, payloads("url") === labelMaps("url"), "left")
       .flatMap { case (pp, resolved) =>
         val lmap = Option(resolved).map(_._2).getOrElse(Map.empty[String, String])
@@ -283,16 +312,5 @@ object HfExport {
           row(item, id => lmap.get(id).map(WikidataJson.mapper.readTree))
         }
       }
-
-    // sequential fixed-size splits (the reference's FILE_SIZE discipline);
-    // see scaladoc: hash splits are the 10^12-row swap-in. The rendered rows
-    // are the kg10 oracle frame: the JSON rendering above is the non-SQL
-    // kernel (golden-pinned), the split window below is DuckDB-replayed.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("id"))
-    graft.operators.OracleFrames.materialize(rows.toDF(), "kg10_rows")
-      .withColumn("split",
-        ((row_number().over(w) - 1) / lit(rowsPerSplit)).cast("int"))
-      .select("split", "id", "labels", "descriptions", "aliases", "sitelinks", "claims")
   }
 }

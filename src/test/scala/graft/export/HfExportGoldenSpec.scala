@@ -49,6 +49,28 @@ class HfExportGoldenSpec extends AnyFunSuite {
     gated.foreach(e => assert(!golden.contains(e.path("id").asText())))
   }
 
+  test("hash-split mode: same rows as sequential, bounded splits, no global window") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val payloads = graft.pipeline.TextifyStage.payloads(
+      spark, graft.pipeline.PagesGen.pages(spark, 60))
+    val seq = HfExport.export(spark, payloads, rowsPerSplit = 10L)
+    val hashed = HfExport.exportHashSplits(spark, payloads, nSplits = 7)
+    // identical rendered rows — only the split assignment differs
+    val a = seq.drop("split").collect().map(_.toSeq).toSet
+    val b = hashed.drop("split").collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    val splits = hashed.select("split").as[Int].collect()
+    assert(splits.forall(s => s >= 0 && s < 7))
+    // the scale property: no global total order in the hash-split plan
+    val plan = hashed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"), "hash splits must not plan a global window")
+    assert(seq.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).contains("Window"),
+      "sequential mode is the window path (the reference's file discipline)")
+  }
+
   test("splice quirks: bare-string label collapse, {} miss, badges stripped") {
     val probe = golden("Q90020")
     assert(probe("claims").contains(""""datavalue":{"id":"Q90010","labels":"No Description"}"""),
