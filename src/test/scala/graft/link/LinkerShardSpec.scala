@@ -43,4 +43,30 @@ class LinkerShardSpec extends AnyFunSuite {
     assert(!single.exists(s => s.contains("u2") && s.contains(",4,")), // "York" at offset 4 inside NYC span
       s"standalone York matched inside New York City: ${single.mkString("; ")}")
   }
+
+  test("explodeCandidates == the scalar reference explode over 200 seeded rows") {
+    // the Catalyst filter/sort/slice/explode chain is kg2's oracle-checked
+    // relational half; pin it against a direct Scala fold over adversarial
+    // shapes: empty arrays, all-self, dup candidates, >50-candidate fan-out
+    val rnd = new scala.util.Random(20260816L)
+    val rows = (0 until 200).map { i =>
+      val self = s"Q${rnd.nextInt(40)}"
+      val n = rnd.nextInt(4) match {
+        case 0 => 0
+        case 1 => rnd.nextInt(5)
+        case 2 => 55 + rnd.nextInt(20) // above the 50 cap
+        case _ => 1 + rnd.nextInt(10)
+      }
+      val qids = Seq.fill(n)(s"Q${rnd.nextInt(40)}") ++
+        (if (rnd.nextBoolean()) Seq(self, self) else Seq.empty)
+      (s"u$i", self, s"s$i", i, i + 3, qids, s"ctx$i")
+    }
+    val df = rows.toDF("url", "self_id", "surface", "begin", "end", "qids", "context")
+    val got = Linker.explodeCandidates(df, maxCandidates = 50)
+      .as[(String, String, Int, Int, String, String)].collect().sorted.toSeq
+    val want = rows.flatMap { case (url, self, s, b, e, qids, ctx) =>
+      qids.filter(_ != self).sorted.take(50).map(q => (url, s, b, e, q, ctx))
+    }.sorted
+    assert(got == want)
+  }
 }
