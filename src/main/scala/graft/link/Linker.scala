@@ -196,4 +196,64 @@ object Linker {
   def link(spark: SparkSession, mentionsDf: DataFrame,
            entityVecs: DataFrame, k: Int = 50): DataFrame =
     scoreTopK(contextVecs(mentionsDf), entityVecs, k)
+
+  /** LSH candidate generation (the north-star's alternative to the surface
+    * dictionary): mention context embeddings and entity item-text embeddings
+    * are sign-bucketed with the SAME seeded hyperplanes; same-bucket pairs
+    * across `tables` independent hash tables are the candidate set, scored
+    * exactly and re-ranked per mention. Finds candidates the surface trie
+    * cannot (paraphrases, unseen aliases) at |corpus|·tables/2^bits expected
+    * candidates per mention instead of |entities|.
+    *
+    * Same scale discipline as the ANN paths: the cosine is computed inside
+    * each table branch (narrow, vectors in hand) so the cross-table dedup
+    * shuffles only scalar rows, and the entity side is an equi-join on the
+    * bucket id — nothing broadcasts, nothing goes quadratic.
+    *
+    * Input: the pre-explode [[resolvedMentions]] frame (one row per mention
+    * span). Output: (url, begin, end, surface, qid, score, rank).
+    */
+  def linkLsh(spark: SparkSession, resolved: DataFrame, entityVecs: DataFrame,
+              k: Int = 5, bits: Int = 8, tables: Int = 4,
+              dimLen: Int = Embedder.dim): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    val ments = resolved
+      .select(col("url"), col("surface"), col("begin"), col("end"), col("context"))
+      .as[(String, String, Int, Int, String)]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          val vecs = Embedder.encodeBatch(batch.map(_._5))
+          batch.zip(vecs).map { case ((u, s, b, e, _), v) => (u, s, b, e, v) }
+        }
+      }
+      .toDF("url", "surface", "begin", "end", "ctx_vec")
+      .withColumn("_n", Similarity.norm(col("ctx_vec")))
+      .persist() // every hash table re-buckets the same embedded frame
+
+    val ents = entityVecs.select(col("id").as("qid"), col("vec"))
+      .withColumn("_en", Similarity.norm(col("vec")))
+      .persist()
+
+    val candidates = (0 until tables).map { t =>
+      val mb = ments.withColumn("bucket",
+        Similarity.lshBucket(col("ctx_vec"), dimLen, bits, seed = 91L + t))
+      val eb = ents.withColumn("bucket",
+        Similarity.lshBucket(col("vec"), dimLen, bits, seed = 91L + t))
+      mb.join(eb, Seq("bucket"))
+        .select(col("url"), col("begin"), col("end"), col("surface"), col("qid"),
+          Similarity.cosineWithNorms(col("ctx_vec"), col("vec"), col("_n"), col("_en"))
+            .as("score"))
+    }.reduce(_ unionByName _).dropDuplicates("url", "begin", "qid")
+
+    val w = Window.partitionBy("url", "begin").orderBy(desc("score"), asc("qid"))
+    val out = candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("url", "begin", "end", "surface", "qid", "score", "rank")
+      .localCheckpoint(true)
+    ments.unpersist(); ents.unpersist()
+    out
+  }
 }

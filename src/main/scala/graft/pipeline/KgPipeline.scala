@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
 final class KgPipeline(spark: SparkSession, root: String,
                        nPages: Long = 2000, linkK: Int = 5,
                        failAfterStage: Option[String] = None,
-                       mentionBudgetChars: Long = Linker.DefaultBroadcastBudgetChars) {
+                       mentionBudgetChars: Long = Linker.DefaultBroadcastBudgetChars,
+                       aliasEdgeMaxIds: Option[Int] = None) {
   import spark.implicits._
 
   val pagesTbl = new MergeTable(spark, s"$root/pages", Seq("url"))
@@ -214,7 +215,14 @@ final class KgPipeline(spark: SparkSession, root: String,
       val t0 = System.nanoTime()
       sameAsTbl.mergeScoped(sameAsEdges(payloads), idScope(pagesTbl.read(), "src"))
       val nodes = labelsTbl.read().filter(col("lang") === "en").select("id")
-      val df = ConnectedComponents.run(spark, sameAsTbl.read(), nodes)
+      // optional alias-identity candidate edges (north-star "alias/sameAs
+      // edges"): gated + chained, see AliasEdges; off by default because
+      // shared-surface identity is a policy choice, not dump semantics
+      val edges = aliasEdgeMaxIds.fold(sameAsTbl.read()) { maxIds =>
+        sameAsTbl.read().unionByName(
+          graft.canon.AliasEdges.edges(labelsTbl.read(), maxIds = maxIds))
+      }
+      val df = ConnectedComponents.run(spark, edges, nodes)
         .withColumnRenamed("component", "canonical")
       val snap = canonTbl.replace(df)
       lineage.capture("canon", triplesSnap, df, (System.nanoTime() - t0) / 1000000)
@@ -399,7 +407,13 @@ final class KgPipeline(spark: SparkSession, root: String,
       val t0 = System.nanoTime()
       sameAsTbl.mergeScoped(sameAsEdges(payloads), idScope(newPages, "src"))
       val nodes = labelsTbl.read().filter(col("lang") === "en").select("id")
-      val df = ConnectedComponents.run(spark, sameAsTbl.read(), nodes)
+      // mirror runFrom: optional alias-identity edges over the (updated)
+      // labels table, so delta and full recompute converge on the same graph
+      val edges = aliasEdgeMaxIds.fold(sameAsTbl.read()) { maxIds =>
+        sameAsTbl.read().unionByName(
+          graft.canon.AliasEdges.edges(labelsTbl.read(), maxIds = maxIds))
+      }
+      val df = ConnectedComponents.run(spark, edges, nodes)
         .withColumnRenamed("component", "canonical")
       val snap = canonTbl.replace(df)
       lineage.capture("delta_canon", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
