@@ -51,6 +51,32 @@ object StreamingExtract {
       .toDF("url", "id", "text")
   }
 
+  /** Streaming mention detection: the same broadcast-trie narrow pass the
+    * batch path runs (Linker semantics: leftmost-longest resolve + the
+    * relational candidate explode), over the streaming text. Candidate
+    * explode stays the shared [[graft.link.Linker.explodeCandidates]] chain
+    * so batch and stream cannot drift.
+    */
+  def mentionsStream(spark: SparkSession, pagesDir: String,
+                     labels: Broadcast[Map[String, String]],
+                     trie: Broadcast[graft.mention.AhoCorasick],
+                     maxCandidates: Int = 50): DataFrame = {
+    import spark.implicits._
+    val contextChars = 80
+    val resolved = textStream(spark, pagesDir, labels)
+      .as[(String, String, String)]
+      .flatMap { case (url, selfId, text) =>
+        trie.value.findMentions(text).map { m =>
+          val ctx = text.substring(
+            math.max(0, m.begin - contextChars),
+            math.min(text.length, m.end + contextChars))
+          (url, selfId, m.surface, m.begin, m.end, m.qids, ctx)
+        }
+      }
+      .toDF("url", "self_id", "surface", "begin", "end", "qids", "context")
+    graft.link.Linker.explodeCandidates(resolved, maxCandidates)
+  }
+
   /** Drain an AvailableNow run of `df` into a memory sink and return it. */
   def drain(spark: SparkSession, df: DataFrame, name: String, checkpoint: String): DataFrame = {
     val q = df.writeStream

@@ -38,6 +38,43 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming mention detection == batch mentions") {
+    val (pagesDir, labels) = setup
+    val ckpt = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ckptm-").toString
+    // dictionary + trie from the same corpus the batch path uses
+    val labelsDf = graft.pipeline.TextifyStage
+      .harvestLabels(spark, graft.pipeline.TextifyStage.payloads(spark, spark.read.parquet(pagesDir)))
+    val dict = labelsDf
+      .filter(!org.apache.spark.sql.functions.col("is_property") &&
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.array_union(
+          org.apache.spark.sql.functions.array(org.apache.spark.sql.functions.col("label")),
+          org.apache.spark.sql.functions.col("aliases"))).as("surface"))
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("surface")) > 0)
+      .groupBy("surface")
+      .agg(org.apache.spark.sql.functions.collect_list("id").as("ids"))
+    val trie = spark.sparkContext.broadcast(
+      graft.mention.AhoCorasick.build(dict.as[(String, Seq[String])].collect().map(d => d._1 -> d._2)))
+
+    val streamed = StreamingExtract.drain(spark,
+      StreamingExtract.mentionsStream(spark, pagesDir, labels, trie), "mentions_stream", ckpt)
+      .collect().map(_.toString).sorted.toSeq
+
+    val texts = graft.pipeline.TextifyStage.payloads(spark, spark.read.parquet(pagesDir))
+      .collect().flatMap { pp =>
+        WikidataJson.parseLine(pp.payload).map { item =>
+          val e = WikidataJson.normalize(item, "en")
+          (pp.url, e.id, new graft.textify.Textifier(
+            graft.textify.LangVariant(pp.lang), id => labels.value.get(id)).entityToText(e))
+        }
+      }.toSeq.toDF("url", "id", "text")
+    val batch = graft.link.Linker.mentions(spark, texts, trie)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("restart with the same checkpoint processes nothing new (offset resume)") {
     val (pagesDir, labels) = setup
     val base = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ckpt2-").toString
