@@ -189,6 +189,27 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(pipe.triplesTbl.read().count() > beforeTriples)
   }
 
+  test("alias-identity edges over the real label table: twins only, hubs gated") {
+    root // force run
+    // PagesGen gives every i%12==1 twin its predecessor's LABEL as an alias
+    // (a 2-entity surface → edge) and pools `AliasN` surfaces across 3-4
+    // entities each (hubs → gated by maxIds=2). The edge set must be exactly
+    // the twin pairs — the same pairs sameAs already connects, so enabling
+    // aliasEdgeMaxIds=Some(2) on this corpus cannot change canon (the
+    // invariant that makes the option safe to turn on).
+    val edges = graft.canon.AliasEdges.edges(pipe.labelsTbl.read())
+      .as[(String, String)].collect().toSet
+    val want = (1L until n).filter(_ % 12 == 1)
+      .map(i => (PagesGen.qid(i - 1), PagesGen.qid(i))).toSet
+    assert(edges == want)
+    assert(edges.nonEmpty)
+    // every alias edge is inside an existing sameAs component ⇒ canon stable
+    val canon = pipe.canonTbl.read().as[(String, String)].collect().toMap
+    edges.foreach { case (a, b) =>
+      assert(canon.getOrElse(a, a) == canon.getOrElse(b, b), s"$a/$b")
+    }
+  }
+
   test("pipeline under a tiny mention-trie budget (forced sharding) == default run") {
     val small = 60L
     def runWith(budget: Long): Seq[String] = {
