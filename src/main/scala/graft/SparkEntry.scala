@@ -107,6 +107,12 @@ object SparkEntry {
     "kg10_hf_export" -> (KgQueries.hfExport _),
   )
 
+  /** Single source of truth for the oracle-frame location: the SQL below
+    * interpolates this constant, so the engine's writes and the oracle's
+    * `read_parquet` can never point at different paths.
+    */
+  private val OF: String = graft.operators.OracleFrames.dir
+
   /** Exact DuckDB replica of the engine's cosine arithmetic: FLOAT*FLOAT
     * multiply, double accumulate in array order — bit-identical to
     * `graft_fdot` / `aggregate(zip_with(...))` (verified), so value-level
@@ -568,13 +574,13 @@ object SparkEntry {
     // the self-generated corpus' relational halves get hard oracle rows:
     // kg4 = the full label-join + render stage, kg9 = the stat aggregation.
     "kg4_triples" ->
-      """WITH r AS (
-        |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg4_claim_rows/*.parquet')),
+      s"""WITH r AS (
+        |  SELECT * FROM read_parquet('$OF/kg4_claim_rows/*.parquet')),
         |l AS (
-        |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg4_labels/*.parquet')),
+        |  SELECT * FROM read_parquet('$OF/kg4_labels/*.parquet')),
         |j AS (
         |  SELECT r.*, p.label AS _plabel, s.label AS _slabel, v.label AS _vlabel,
-        |    regexp_replace(regexp_replace(v.label, '^b''', ''), '''\z', '') AS stripped
+        |    regexp_replace(regexp_replace(v.label, '^b''', ''), '''\\z', '') AS stripped
         |  FROM r
         |  JOIN l p ON r.pid = p.id AND p.id LIKE 'P%'
         |  JOIN l s ON r.qid = s.id
@@ -594,25 +600,25 @@ object SparkEntry {
         |FROM j
         |WHERE NOT isQidValue OR (_vlabel IS NOT NULL AND length(stripped) > 0)""".stripMargin,
     "kg9_stats" ->
-      """SELECT stat, key, count(*) AS n
-        |FROM read_parquet('/root/repo/target/oracle_frames/kg9_stat_rows/*.parquet')
+      s"""SELECT stat, key, count(*) AS n
+        |FROM read_parquet('$OF/kg9_stat_rows/*.parquet')
         |GROUP BY stat, key""".stripMargin,
     // kg2: the trie match is the non-SQL kernel; the oracle replays the
     // candidate explode (self-drop + sort + cap 50 + unnest) from the
     // materialized resolved-mentions frame (mirrors Linker.explodeCandidates)
     "kg2_mentions" ->
-      """SELECT url, surface, "begin", "end",
+      s"""SELECT url, surface, "begin", "end",
         |  unnest(list_slice(list_sort(list_filter(qids, q -> q != self_id)), 1, 50)) AS qid,
         |  context
-        |FROM read_parquet('/root/repo/target/oracle_frames/kg2_mentions_raw/*.parquet')""".stripMargin,
+        |FROM read_parquet('$OF/kg2_mentions_raw/*.parquet')""".stripMargin,
     // kg3: candidate equi-join + bit-exact cosine + per-mention top-5 window
     // over the materialized (ctx-embedded mentions, entity vecs) frames —
     // mirrors Linker.scoreTopK
     "kg3_links" ->
       s"""WITH m AS (
-         |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg3_mentions/*.parquet')),
+         |  SELECT * FROM read_parquet('$OF/kg3_mentions/*.parquet')),
          |v AS (
-         |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg3_vecs/*.parquet')),
+         |  SELECT * FROM read_parquet('$OF/kg3_vecs/*.parquet')),
          |s AS (
          |  SELECT m.url, m."begin", m."end", m.surface, m.qid,
          |    CASE WHEN sqrt(${sqlDot("ctx_vec", "ctx_vec")}) * sqrt(${sqlDot("vec", "vec")}) = 0
@@ -632,11 +638,11 @@ object SparkEntry {
     // min-label, a from-first-principles check of the pointer-jumped
     // iterative-join implementation
     "kg5_canon" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT src, dst FROM read_parquet('/root/repo/target/oracle_frames/kg5_edges/*.parquet')),
+      s"""WITH RECURSIVE e AS (
+        |  SELECT src, dst FROM read_parquet('$OF/kg5_edges/*.parquet')),
         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
         |n AS (
-        |  SELECT id FROM read_parquet('/root/repo/target/oracle_frames/kg5_nodes/*.parquet')
+        |  SELECT id FROM read_parquet('$OF/kg5_nodes/*.parquet')
         |  UNION SELECT src AS id FROM sym),
         |reach(id, r) AS (
         |  SELECT id, id AS r FROM n
@@ -646,13 +652,13 @@ object SparkEntry {
     // kg7: the kg4 join/render replay filtered to one subject key (the
     // url→qid contract pins the literal)
     "kg7_triples_for_url" ->
-      """WITH r AS (
-        |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg4_claim_rows/*.parquet')),
+      s"""WITH r AS (
+        |  SELECT * FROM read_parquet('$OF/kg4_claim_rows/*.parquet')),
         |l AS (
-        |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/kg4_labels/*.parquet')),
+        |  SELECT * FROM read_parquet('$OF/kg4_labels/*.parquet')),
         |j AS (
         |  SELECT r.*, p.label AS _plabel, s.label AS _slabel, v.label AS _vlabel,
-        |    regexp_replace(regexp_replace(v.label, '^b''', ''), '''\z', '') AS stripped
+        |    regexp_replace(regexp_replace(v.label, '^b''', ''), '''\\z', '') AS stripped
         |  FROM r
         |  JOIN l p ON r.pid = p.id AND p.id LIKE 'P%'
         |  JOIN l s ON r.qid = s.id
@@ -677,8 +683,8 @@ object SparkEntry {
     // (doc × candidate-language) score rows; the oracle replays the argmax
     // (window max + min-lang tie-break, 'und' when nothing scores above 0)
     "lid1_langid_fingerprint" ->
-      """WITH s AS (
-        |  SELECT * FROM read_parquet('/root/repo/target/oracle_frames/lid1_scores/*.parquet')),
+      s"""WITH s AS (
+        |  SELECT * FROM read_parquet('$OF/lid1_scores/*.parquet')),
         |m AS (SELECT *, max(score) OVER (PARTITION BY doc_id) AS ms FROM s)
         |SELECT doc_id, lang,
         |  CASE WHEN max(ms) <= 0 THEN 'und' ELSE min(cand_lang) END AS predicted_lang,
@@ -690,10 +696,10 @@ object SparkEntry {
     // from the materialized per-entity chunk arrays (lateral range join =
     // posexplode; empty arrays vanish on both sides)
     "kg6_chunks" ->
-      """WITH x AS (
+      s"""WITH x AS (
         |  SELECT qid, lang, unnest(chunks) AS text,
         |    unnest(range(1, len(chunks) + 1)) AS i
-        |  FROM read_parquet('/root/repo/target/oracle_frames/kg6_chunk_arrays/*.parquet'))
+        |  FROM read_parquet('$OF/kg6_chunk_arrays/*.parquet'))
         |SELECT qid || '_' || lang || '_' || CAST(i AS VARCHAR) AS chunk_id,
         |  qid, CAST(i AS INTEGER) AS chunk, text
         |FROM x""".stripMargin,
@@ -702,16 +708,16 @@ object SparkEntry {
     // sequential fixed-size split assignment (global row_number window).
     // floor() because DuckDB CAST-to-INT rounds while Spark's truncates.
     "kg10_hf_export" ->
-      """SELECT CAST(floor((row_number() OVER (ORDER BY id) - 1) / 500.0) AS INTEGER) AS split,
+      s"""SELECT CAST(floor((row_number() OVER (ORDER BY id) - 1) / 500.0) AS INTEGER) AS split,
         |  id, labels, descriptions, aliases, sitelinks, claims
-        |FROM read_parquet('/root/repo/target/oracle_frames/kg10_rows/*.parquet')""".stripMargin,
+        |FROM read_parquet('$OF/kg10_rows/*.parquet')""".stripMargin,
     // mm1: the stub decode is the non-SQL kernel; the oracle replays the
     // per-kind aggregation from the materialized decoded-metadata frames
     "mm1_media_stats" ->
-      """SELECT 'image' AS kind, count(*) AS n, CAST(sum(width) AS BIGINT) AS sum_w
-        |FROM read_parquet('/root/repo/target/oracle_frames/mm1_images/*.parquet')
+      s"""SELECT 'image' AS kind, count(*) AS n, CAST(sum(width) AS BIGINT) AS sum_w
+        |FROM read_parquet('$OF/mm1_images/*.parquet')
         |UNION ALL
         |SELECT 'video_frames' AS kind, count(*) AS n, CAST(sum(t_ms) AS BIGINT) AS sum_w
-        |FROM read_parquet('/root/repo/target/oracle_frames/mm1_frames/*.parquet')""".stripMargin,
+        |FROM read_parquet('$OF/mm1_frames/*.parquet')""".stripMargin,
   )
 }

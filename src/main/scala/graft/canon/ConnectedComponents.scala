@@ -40,12 +40,25 @@ object ConnectedComponents {
   /** edges(src, dst) → (id, component) with component = min id in the
     * component (string min). Nodes = every id appearing in edges ∪ `nodes`.
     */
+  /** Reliable-checkpoint lifecycle (checkpointDir mode): `setCheckpointDir`
+    * is SparkContext-GLOBAL, so this call saves the session's previous dir
+    * and restores it before returning — two pipelines (or unrelated code
+    * calling `.checkpoint()`) in one session cannot silently write into each
+    * other's dirs. Spark does NOT auto-delete reliable checkpoints: the
+    * RETURNED frame depends on its checkpoint files until the caller has
+    * consumed (or re-materialized) it, after which the caller owns deleting
+    * `checkpointDir`; set `spark.cleaner.referenceTracking.cleanCheckpoints=
+    * true` to let the ContextCleaner reclaim the per-round intermediates as
+    * they fall out of scope.
+    */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
           maxIterations: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
     // reliable (fault-tolerant) checkpointing when a dir is given — the real-
     // cluster mode: round frames survive executor loss. localCheckpoint is
     // the single-JVM default (no HDFS in the sandbox); same call shape.
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    try {
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
@@ -111,5 +124,9 @@ object ConnectedComponents {
         s"connected components did not converge after $maxIterations rounds " +
           s"($changed labels still changing); raise maxIterations")
     labels
+    } finally {
+      // restore the session's previous checkpoint dir (global state)
+      if (checkpointDir.isDefined) prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
   }
 }

@@ -229,9 +229,17 @@ object HfExport {
 
   /** One export row per entity passing the sitelink gate — clean_entity +
     * the run.py:29-34 per-column compact dumps.
+    *
+    * Dirty-row tolerance: an entity missing any of the five object fields is
+    * DROPPED (the reference would KeyError on it; every other corpus path
+    * here drops rather than crashes — and without this gate a MissingNode
+    * would fall through dumpsCompactAscii's number case and export literal
+    * garbage instead of JSON).
     */
   def row(item: JsonNode, labelOf: String => Option[JsonNode]): Option[HfRow] = {
     if (!hasWikiSitelink(item)) return None
+    val fields = Seq("labels", "descriptions", "aliases", "sitelinks", "claims")
+    if (!item.path("id").isTextual || fields.exists(f => !item.path(f).isObject)) return None
     val claims = addLabels(cleanClaims(item.path("claims")), labelOf)
     val sitelinks = removeKeys(item.path("sitelinks"), Set("badges"))
     Some(HfRow(

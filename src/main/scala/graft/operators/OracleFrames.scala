@@ -20,7 +20,12 @@ object OracleFrames {
 
   def enabled: Boolean = sys.props.get("graft.oracle.frames").contains("1")
 
-  val dir = "/root/repo/target/oracle_frames"
+  /** Resolved once per JVM; `graft.oracle.frames.dir` overrides for
+    * checkouts living elsewhere. SparkEntry interpolates this SAME value
+    * into the oracle SQL, so engine writes and DuckDB reads cannot drift.
+    */
+  val dir: String =
+    sys.props.getOrElse("graft.oracle.frames.dir", "/root/repo/target/oracle_frames")
 
   /** Identity when disabled; write-then-reread under Verify. */
   def materialize(df: DataFrame, name: String): DataFrame =

@@ -104,7 +104,18 @@ final class KgPipeline(spark: SparkSession, root: String,
 
   private def runFrom(pagesSnap: Long): Long = {
 
-    lazy val payloads = TextifyStage.payloads(spark, pagesTbl.read()).persist()
+    // Option-backed memo instead of lazy vals: the finally block below must
+    // unpersist ONLY what a stage actually forced (unpersisting a lazy would
+    // first materialize it), and it must run on the failure path too — a
+    // killed/failed ingest in a long-lived driver must not leak the cached
+    // corpus frames (failAfterStage exercises exactly this path).
+    var payloadsRef: Option[org.apache.spark.sql.Dataset[PagePayload]] = None
+    def payloads = payloadsRef.getOrElse {
+      val p = TextifyStage.payloads(spark, pagesTbl.read()).persist()
+      payloadsRef = Some(p); p
+    }
+    var resolvedRef: Option[org.apache.spark.sql.Dataset[(PagePayload, Map[String, String])]] = None
+    try {
 
     // stage: harvest — per-language label dimension (id, lang, label,
     // is_property, aliases) from the corpus itself: the reference normalizes
@@ -132,12 +143,14 @@ final class KgPipeline(spark: SparkSession, root: String,
     }
     checkFail("harvest_ids")
 
-    lazy val gatedPayloads = gatePayloads(payloads)
     // one gather-join feeds BOTH textify and docs (the two renderers resolve
     // the same (url → label map) frame); persisting it halves the pipeline's
     // biggest shuffle (refs explode + label join + per-url regroup)
-    lazy val resolved = TextifyStage.withLabelMaps(
-      spark, gatedPayloads, labelsTbl.read()).persist()
+    def resolved = resolvedRef.getOrElse {
+      val r = TextifyStage.withLabelMaps(
+        spark, gatePayloads(payloads), labelsTbl.read()).persist()
+      resolvedRef = Some(r); r
+    }
 
     // stage: textify — byte-identical extracted text per url (gated)
     val textsSnap = lineage.runStage("textify", labelsSnap) {
@@ -234,11 +247,14 @@ final class KgPipeline(spark: SparkSession, root: String,
     lineage.runStage("materialize", canonSnap)(materializeStage(canonSnap))
     checkFail("materialize")
 
-    // drop the run-scoped caches (mirrors runDelta) — a long-lived driver
-    // running repeated full ingests must not accumulate cached corpus copies
-    resolved.unpersist()
-    payloads.unpersist()
     triplesSnap
+    } finally {
+      // drop the run-scoped caches on success AND failure — a long-lived
+      // driver running (or retrying) repeated ingests must not accumulate
+      // cached corpus copies
+      resolvedRef.foreach(_.unpersist())
+      payloadsRef.foreach(_.unpersist())
+    }
   }
 
   /** Nodes + edges from the materialized tables (fully table-driven — shared
@@ -319,6 +335,11 @@ final class KgPipeline(spark: SparkSession, root: String,
     val payloads = TextifyStage.payloads(spark, newPages).persist()
     val batchUrls = newPages.select("url")
 
+    // mirror runFrom: unpersist on failure too (memo because a resumed run
+    // whose per-page stages are all marked done never forces `resolved`)
+    var resolvedRef: Option[org.apache.spark.sql.Dataset[(PagePayload, Map[String, String])]] = None
+    try {
+
     lineage.runStage("delta_harvest", pagesSnap) {
       val t0 = System.nanoTime()
       val df = TextifyStage.harvestLabels(spark, payloads)
@@ -345,9 +366,11 @@ final class KgPipeline(spark: SparkSession, root: String,
       snap
     }
 
-    val gated = gatePayloads(payloads)
-    lazy val resolved = TextifyStage.withLabelMaps(
-      spark, gated, labelsTbl.read()).persist()
+    def resolved = resolvedRef.getOrElse {
+      val r = TextifyStage.withLabelMaps(
+        spark, gatePayloads(payloads), labelsTbl.read()).persist()
+      resolvedRef = Some(r); r
+    }
 
     lineage.runStage("delta_textify", pagesSnap) {
       val t0 = System.nanoTime()
@@ -421,8 +444,10 @@ final class KgPipeline(spark: SparkSession, root: String,
     }
 
     lineage.runStage("delta_materialize", pagesSnap)(materializeStage(canonSnap))
-    resolved.unpersist()
-    payloads.unpersist()
     triplesSnap
+    } finally {
+      resolvedRef.foreach(_.unpersist())
+      payloads.unpersist()
+    }
   }
 }

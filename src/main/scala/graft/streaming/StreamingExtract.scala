@@ -61,20 +61,12 @@ object StreamingExtract {
                      labels: Broadcast[Map[String, String]],
                      trie: Broadcast[graft.mention.AhoCorasick],
                      maxCandidates: Int = 50): DataFrame = {
-    import spark.implicits._
-    val contextChars = 80
-    val resolved = textStream(spark, pagesDir, labels)
-      .as[(String, String, String)]
-      .flatMap { case (url, selfId, text) =>
-        trie.value.findMentions(text).map { m =>
-          val ctx = text.substring(
-            math.max(0, m.begin - contextChars),
-            math.min(text.length, m.end + contextChars))
-          (url, selfId, m.surface, m.begin, m.end, m.qids, ctx)
-        }
-      }
-      .toDF("url", "self_id", "surface", "begin", "end", "qids", "context")
-    graft.link.Linker.explodeCandidates(resolved, maxCandidates)
+    // the SAME batch kernels over the streaming text frame: resolvedRows is
+    // a narrow flatMap (streaming-safe), explodeCandidates is the shared
+    // relational chain — batch and stream cannot drift
+    val texts = textStream(spark, pagesDir, labels).toDF("url", "id", "text")
+    graft.link.Linker.explodeCandidates(
+      graft.link.Linker.resolvedRows(spark, texts, trie), maxCandidates)
   }
 
   /** Drain an AvailableNow run of `df` into a memory sink and return it. */

@@ -49,6 +49,18 @@ class HfExportGoldenSpec extends AnyFunSuite {
     gated.foreach(e => assert(!golden.contains(e.path("id").asText())))
   }
 
+  test("dirty rows drop: an entity missing labels/claims exports nothing, not garbage") {
+    // gate passes (has a *wiki sitelink) but labels/descriptions/aliases/
+    // claims are absent — without the field guard, MissingNode fell through
+    // dumpsCompactAscii's number case and exported literal "0.0" columns
+    val dirty = WikidataJson.parseLine(
+      """{"id":"Q666","sitelinks":{"enwiki":{"site":"enwiki","title":"T"}}}""").get
+    assert(HfExport.hasWikiSitelink(dirty))
+    assert(HfExport.row(dirty, _ => None).isEmpty)
+    // and every clean fixture still exports (the guard drops nothing valid)
+    assert(hfItems.count(e => HfExport.row(e, labelOf).isDefined) == golden.size)
+  }
+
   test("hash-split mode: same rows as sequential, bounded splits, no global window") {
     val spark = graft.SparkTestBase.spark
     import spark.implicits._

@@ -210,6 +210,36 @@ class KgPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("aliasEdgeMaxIds=Some(2) pipeline run == CC over sameAs ∪ alias edges") {
+    // exercises the sameAs ∪ AliasEdges union wiring end-to-end. At n=60 the
+    // Alias pool shrinks to 11, so some pooled surfaces have EXACTLY 2 ids —
+    // the alias edges genuinely add merges beyond sameAs (unlike n=240 where
+    // every pool surface is a 3-4-id hub and gets gated).
+    val small = 60L
+    def runWith(alias: Option[Int]): KgPipeline = {
+      val dir = Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "kgtest-alias-").toString
+      val p = new KgPipeline(spark, dir, nPages = small, aliasEdgeMaxIds = alias)
+      p.run()
+      p
+    }
+    val dflt = runWith(None)
+    val withAlias = runWith(Some(2)).canonTbl.read()
+      .as[(String, String)].collect().sorted.toSeq
+
+    // independent composition from the default run's materialized tables
+    val edges = dflt.sameAsTbl.read().unionByName(
+      graft.canon.AliasEdges.edges(dflt.labelsTbl.read(), maxIds = 2))
+    val nodes = dflt.labelsTbl.read()
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").select("id")
+    val expected = graft.canon.ConnectedComponents.run(spark, edges, nodes)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(withAlias == expected)
+    // and the alias edges actually changed something at this corpus size
+    val defaultCanon = dflt.canonTbl.read().as[(String, String)].collect().sorted.toSeq
+    assert(withAlias != defaultCanon)
+  }
+
   test("pipeline under a tiny mention-trie budget (forced sharding) == default run") {
     val small = 60L
     def runWith(budget: Long): Seq[String] = {

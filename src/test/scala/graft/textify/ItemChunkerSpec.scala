@@ -43,6 +43,20 @@ class ItemChunkerSpec extends AnyFunSuite {
       s"expected skip-one tail, got $ids")
   }
 
+  test("safe wrapper: label-less entity drops, labeled entity == throwing form") {
+    val labeled = Fixtures.items.find(i => i.path("descriptions").has("en")).get
+    val qid = labeled.get("id").asText()
+    val labelOf: String => Option[String] =
+      id => if (id == qid) Some("The Label") else None
+    assert(asMaps(ItemChunker.entityToItemChunksSafe(labeled, labelOf)) ==
+      asMaps(ItemChunker.entityToItemChunks(labeled, labelOf)))
+    // same entity with NO label resolvable: the throwing form crashes
+    // (reference parity), the safe form drops the row
+    val noLabel: String => Option[String] = _ => None
+    intercept[NoSuchElementException](ItemChunker.entityToItemChunks(labeled, noLabel))
+    assert(ItemChunker.entityToItemChunksSafe(labeled, noLabel).isEmpty)
+  }
+
   test("F8: sitelink-any filter") {
     val byId = Fixtures.items.map(i => i.get("id").asText() -> i).toMap
     assert(WikidataJson.hasAnySitelink(byId("Q90001")))
