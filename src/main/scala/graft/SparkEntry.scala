@@ -40,6 +40,9 @@ object SparkEntry {
     "d3_dup_groups" -> (T.d3DupGroups _),
     "d4_token_counts" -> (T.d4TokenCounts _),
     "d5_quality_signals" -> (T.d5QualitySignals _),
+    // deterministic hash-stratified sampling (curation op): the include
+    // decision is a pure function of the key — retry/repartition-stable
+    "d6_stratified_sample" -> (T.d6StratifiedSample _),
     // dedup family
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
@@ -308,6 +311,11 @@ object SparkEntry {
         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
         |FROM documents""".stripMargin,
+    "d6_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      / 4294967296.0
+        |    < CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.1 END""".stripMargin,
     "dd1_minhash_lsh" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
