@@ -43,6 +43,8 @@ object SparkEntry {
     // deterministic hash-stratified sampling (curation op): the include
     // decision is a pure function of the key — retry/repartition-stable
     "d6_stratified_sample" -> (T.d6StratifiedSample _),
+    // PII scrub (C4/CCNet-style cleanup): redact + count, pure codegen
+    "d7_pii_scrub" -> (T.d7PiiScrub _),
     // dedup family
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
@@ -316,6 +318,14 @@ object SparkEntry {
         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |      / 4294967296.0
         |    < CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.25 ELSE 0.1 END""".stripMargin,
+    "d7_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}', '<PHONE>', 'g') AS text_scrubbed
+        |FROM documents""".stripMargin,
     "dd1_minhash_lsh" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words

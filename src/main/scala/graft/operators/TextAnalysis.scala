@@ -80,6 +80,22 @@ object TextAnalysis {
     * changes the sample), it needs no per-partition seed plumbing, and the
     * same expression replays in any engine (the DuckDB oracle).
     */
+  /** PII scrubbing (curation op, the C4/CCNet-style pre-training cleanup):
+    * redact emails and phone-shaped numbers, report per-doc hit counts.
+    * Pure codegen'd column expressions; the regexes are written to the
+    * Java∩RE2 common dialect so the DuckDB oracle replays them exactly.
+    */
+  def d7PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("text_scrubbed"))
+  }
+
   def d6StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)

@@ -40,6 +40,22 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(LangId.detect("xq") == "und")
   }
 
+  test("PII scrub redacts planted emails and phones (corpus has none — oracle covers the no-op)") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "pii-").toString
+    Seq(
+      (1L, "contact john.doe+x@example.co.uk or call +1-555-0100 maybe"),
+      (2L, "two mails a@b.io c.d@e.org and a phone 415 555 1234 here"),
+      (3L, "clean text with numbers 12345 but no pii")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.d7PiiScrub(spark, dir)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0)._2 == 1 && got(0)._4.contains("<EMAIL>"))
+    assert(got(1)._2 == 2 && got(1)._3 == 1)
+    assert(got(1)._4 == "two mails <EMAIL> <EMAIL> and a phone <PHONE> here")
+    assert(got(2) == ((3L, 0, 0, "clean text with numbers 12345 but no pii")))
+  }
+
   test("detectDocs relational argmax == scalar detect per document") {
     // the lid1 path now runs the argmax relationally (window max + min-lang
     // tie-break) so DuckDB can replay it; pin it to detect()'s semantics
