@@ -32,10 +32,15 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       timeOnce(fn) // warm-up: JIT + codegen compile
+      // drop the warm-up's persisted intermediates BEFORE timing: the
+      // CacheManager substitutes identical plan subtrees with the warm-up's
+      // InMemoryRelations (posting lists, signature frames, texts), which
+      // would let the timed run skip the work those caches represent — the
+      // timed number must include building a query's own caches
+      spark.catalog.clearCache()
       val t = name -> timeOnce(fn)
-      // operators persist shared frames (posting lists, texts) that their
-      // lazy results can't unpersist — clear between queries so a long
-      // session's block manager doesn't accumulate one cache per query
+      // and clear again so a long session's block manager doesn't
+      // accumulate one cache per query
       spark.catalog.clearCache()
       t
     }

@@ -43,8 +43,13 @@ final class EmbeddingCache(spark: SparkSession, table: MergeTable) {
     val hits = joined.filter(col("vec").isNotNull).select(col("id"), col("vec"))
     val filled = joined.filter(col("vec").isNull).select(col("id"), col("text_key"))
       .join(fresh, Seq("text_key")).select(col("id"), col("vec"))
-    val result = hits.unionByName(filled)
+    // the result is consumed lazily by the caller: eagerly materialize it
+    // (lineage truncation) BEFORE releasing the inputs — unpersisting first
+    // would force the caller's evaluation to recompute the cache join twice,
+    // and `fresh` would otherwise leak one cached frame per call
+    val result = hits.unionByName(filled).localCheckpoint(true)
     joined.unpersist()
+    fresh.unpersist()
     (result, nMisses)
   }
 }

@@ -157,14 +157,24 @@ object Dedup {
     sig
   }
 
-  /** Near-dups = hamming distance ≤ maxDist, candidates via 16-bit block
-    * buckets (pigeonhole: dist ≤ 3 ⇒ at least one of 4 blocks equal).
+  /** Near-dups = hamming distance ≤ maxDist, candidates via equal-width
+    * block buckets. Pigeonhole soundness requires MORE blocks than the
+    * distance budget (dist ≤ d over b > d blocks ⇒ at least one block
+    * equal), so the block count is DERIVED: maxDist+1 blocks of 64/(d+1)
+    * bits — 4×16-bit at the default maxDist=3 (what the dd2 oracle pins).
+    * A fixed block count with a free maxDist would silently lose recall.
     */
   def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks // last block absorbs the remainder bits
     val d = simhashSigs(spark, dir)
-    val blocks = (0 until 4).map { b =>
+    val blocks = (0 until nBlocks).map { b =>
+      val lo = b * width
+      val hi = if (b == nBlocks - 1) 64 else (b + 1) * width
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
       d.select(col("doc_id"), col("sig"),
-        lit(b).as("block"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+        lit(b).as("block"), shiftright(col("sig"), lo).bitwiseAND(lit(mask)).as("key"))
     }.reduce(_ unionByName _).persist() // feeds both self-join sides
     val l = blocks.select(col("block"), col("key"), col("doc_id").as("a"), col("sig").as("siga"))
     val r = blocks.select(col("block"), col("key"), col("doc_id").as("b"), col("sig").as("sigb"))
@@ -213,8 +223,11 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("_raw"))
+      // threshold the RAW value, round only for display — the dd3 oracle
+      // filters raw, and a boundary pair must not diverge on the rounding
+      .filter(col("_raw") >= threshold)
+      .select(col("a"), col("b"), round(col("_raw"), 6).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard re-check for minhash LSH candidates only. */

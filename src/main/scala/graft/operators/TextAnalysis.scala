@@ -72,14 +72,6 @@ object TextAnalysis {
         (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).as("n_punct"),
         (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"))
 
-  /** Deterministic stratified sampling for training-data curation: include a
-    * doc iff its md5-derived uniform in [0,1) falls under its stratum's
-    * rate. Hash sampling beats `rand()` at scale — the decision is a pure
-    * function of the KEY, so it is reproducible across task retries,
-    * repartitions and reruns (a retried task re-drawing rand() silently
-    * changes the sample), it needs no per-partition seed plumbing, and the
-    * same expression replays in any engine (the DuckDB oracle).
-    */
   /** PII scrubbing (curation op, the C4/CCNet-style pre-training cleanup):
     * redact emails and phone-shaped numbers, report per-doc hit counts.
     * Pure codegen'd column expressions; the regexes are written to the
@@ -96,6 +88,14 @@ object TextAnalysis {
         phoneRe, "<PHONE>").as("text_scrubbed"))
   }
 
+  /** Deterministic stratified sampling for training-data curation: include a
+    * doc iff its md5-derived uniform in [0,1) falls under its stratum's
+    * rate. Hash sampling beats `rand()` at scale — the decision is a pure
+    * function of the KEY, so it is reproducible across task retries,
+    * repartitions and reruns (a retried task re-drawing rand() silently
+    * changes the sample), it needs no per-partition seed plumbing, and the
+    * same expression replays in any engine (the DuckDB oracle).
+    */
   def d6StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)

@@ -71,8 +71,10 @@ final class KgPipeline(spark: SparkSession, root: String,
     val pagesSnap = lineage.runStage("ingest", 0L) {
       val t0 = System.nanoTime()
       val df = PagesGen.pages(spark, nPages)
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = pagesTbl.merge(df)
       lineage.capture("ingest", 0L, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
     checkFail("ingest")
@@ -123,8 +125,10 @@ final class KgPipeline(spark: SparkSession, root: String,
     val labelsSnap = lineage.runStage("harvest", pagesSnap) {
       val t0 = System.nanoTime()
       val df = TextifyStage.harvestLabels(spark, payloads)
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = labelsTbl.merge(df)
       lineage.capture("harvest", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
     checkFail("harvest")
@@ -137,8 +141,10 @@ final class KgPipeline(spark: SparkSession, root: String,
         .toDF("id", "in_wikipedia", "is_property")
         .groupBy("id")
         .agg(max("in_wikipedia").as("in_wikipedia"), max("is_property").as("is_property"))
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = idFlagsTbl.merge(df)
       lineage.capture("harvest_ids", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
     checkFail("harvest_ids")
@@ -156,8 +162,10 @@ final class KgPipeline(spark: SparkSession, root: String,
     val textsSnap = lineage.runStage("textify", labelsSnap) {
       val t0 = System.nanoTime()
       val df = TextifyStage.renderResolved(spark, resolved)
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = textsTbl.mergeScoped(df, urlScope(pagesTbl.read()))
       lineage.capture("textify", labelsSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
     checkFail("textify")
@@ -170,8 +178,10 @@ final class KgPipeline(spark: SparkSession, root: String,
       val t0 = System.nanoTime()
       val df = Linker.mentionsSharded(spark, textsTbl.read(), mentionDict(),
         broadcastBudgetChars = mentionBudgetChars)
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = mentionsTbl.mergeScoped(df, urlScope(pagesTbl.read()))
       lineage.capture("mentions", textsSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
     checkFail("mentions")
@@ -186,8 +196,10 @@ final class KgPipeline(spark: SparkSession, root: String,
         texts.select("id", "text").as[(String, String)]).toDF("id", "vec"),
         idScope(pagesTbl.read(), "id"))
       val df = Linker.link(spark, mentionsTbl.read(), vecsTbl.read(), linkK)
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = linksTbl.mergeScoped(df, urlScope(pagesTbl.read()))
       lineage.capture("link", mentionsSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
     checkFail("link")
@@ -204,8 +216,10 @@ final class KgPipeline(spark: SparkSession, root: String,
       val df = Embedder.embedDataset(
         chunks.select("doc_id", "text").as[(String, String)]).toDF("doc_id", "vec")
         .join(chunks, Seq("doc_id"))
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = docsTbl.mergeScoped(df, idScope(pagesTbl.read(), "qid"))
       lineage.capture("docs", textsSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
     checkFail("docs")
@@ -215,8 +229,10 @@ final class KgPipeline(spark: SparkSession, root: String,
       val t0 = System.nanoTime()
       val df = Triples.fromLines(spark, payloads.map(_.payload),
         labelsTbl.read().filter(col("lang") === "en").select("id", "label"))
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = triplesTbl.mergeScoped(df, idScope(pagesTbl.read(), "qid"))
       lineage.capture("triples", labelsSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
     checkFail("triples")
@@ -343,8 +359,10 @@ final class KgPipeline(spark: SparkSession, root: String,
     lineage.runStage("delta_harvest", pagesSnap) {
       val t0 = System.nanoTime()
       val df = TextifyStage.harvestLabels(spark, payloads)
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = labelsTbl.merge(df)
       lineage.capture("delta_harvest", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
 
@@ -361,8 +379,10 @@ final class KgPipeline(spark: SparkSession, root: String,
       val df = batchFlags.unionByName(existing)
         .groupBy("id")
         .agg(max("in_wikipedia").as("in_wikipedia"), max("is_property").as("is_property"))
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = idFlagsTbl.merge(df)
       lineage.capture("delta_harvest_ids", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
 
@@ -375,8 +395,10 @@ final class KgPipeline(spark: SparkSession, root: String,
     lineage.runStage("delta_textify", pagesSnap) {
       val t0 = System.nanoTime()
       val df = TextifyStage.renderResolved(spark, resolved)
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = textsTbl.mergeScoped(df, urlScope(newPages))
       lineage.capture("delta_textify", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
 
@@ -386,8 +408,10 @@ final class KgPipeline(spark: SparkSession, root: String,
       val t0 = System.nanoTime()
       val df = Linker.mentionsSharded(spark, batchTexts, mentionDict(),
         broadcastBudgetChars = mentionBudgetChars)
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = mentionsTbl.mergeScoped(df, urlScope(newPages))
       lineage.capture("delta_mentions", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
 
@@ -398,8 +422,10 @@ final class KgPipeline(spark: SparkSession, root: String,
         idScope(newPages, "id"))
       val batchMentions = mentionsTbl.read().join(batchUrls, Seq("url"), "left_semi")
       val df = Linker.link(spark, batchMentions, vecsTbl.read(), linkK)
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = linksTbl.mergeScoped(df, urlScope(newPages))
       lineage.capture("delta_link", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
 
@@ -409,8 +435,10 @@ final class KgPipeline(spark: SparkSession, root: String,
       val df = Embedder.embedDataset(
         chunks.select("doc_id", "text").as[(String, String)]).toDF("doc_id", "vec")
         .join(chunks, Seq("doc_id"))
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = docsTbl.mergeScoped(df, idScope(newPages, "qid"))
       lineage.capture("delta_docs", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
 
@@ -418,8 +446,10 @@ final class KgPipeline(spark: SparkSession, root: String,
       val t0 = System.nanoTime()
       val df = Triples.fromLines(spark, payloads.map(_.payload),
         labelsTbl.read().filter(col("lang") === "en").select("id", "label"))
+      df.persist() // one materialization feeds the merge's scope collect, the write, and the lineage count
       val snap = triplesTbl.mergeScoped(df, idScope(newPages, "qid"))
       lineage.capture("delta_triples", pagesSnap, df, (System.nanoTime() - t0) / 1000000)
+      df.unpersist()
       snap
     }
 

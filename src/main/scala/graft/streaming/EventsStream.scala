@@ -8,14 +8,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * semantics (SURVEY.md §2.9): the producer/queue/consumer pipeline becomes
   * a file stream; resume offsets become checkpointed state.
   *
-  * Two operators:
+  * Operators:
   *  - watermarked tumbling-window aggregation (hourly counts/sums per type);
   *  - sessionization with `flatMapGroupsWithState` (custom per-user state,
-  *    30-minute gap), the KeyValueGroupedDataset custom-state path.
+  *    30-minute gap): [[sessionize]] is the batch entry (complete input —
+  *    every session emits; the st1 oracle path) and [[sessionizeStream]] the
+  *    true streaming entry, where the open session carries across
+  *    microbatches in GroupState and flushes via event-time timeout
+  *    (SessionizeStreamSpec forces batch boundaries to prove no split).
   *
-  * Both also run in batch mode over the same frame (identical plans modulo
-  * the sink), which is how the DuckDB oracle covers their logic via
-  * q9_events_hourly.
+  * The batch forms run over the same frames (identical plans modulo the
+  * sink), which is how the DuckDB oracle covers their logic via
+  * q9_events_hourly / st1_sessionize.
   */
 object EventsStream {
 
@@ -55,7 +59,29 @@ object EventsStream {
     spark.table(queryName)
   }
 
-  /** Gap-based sessionization with custom state (30-minute inactivity). */
+  /** The shared gap-split kernel: fold sorted events into an optional prior
+    * open session; returns (closed sessions, trailing open session).
+    */
+  private def gapSplit(userId: Long, prior: Option[SessionState], evs: Seq[Event],
+                       gapMs: Long): (Seq[Session], Option[SessionState]) = {
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var cur: SessionState = prior.orNull
+    evs.foreach { e =>
+      val t = e.ts.getTime
+      if (cur == null) cur = SessionState(t, t, 1, e.value)
+      else if (t - cur.lastSeen > gapMs) {
+        sessions += Session(userId, cur.start, cur.lastSeen, cur.nEvents, cur.sumValue)
+        cur = SessionState(t, t, 1, e.value)
+      } else cur = cur.copy(lastSeen = t, nEvents = cur.nEvents + 1,
+        sumValue = cur.sumValue + e.value)
+    }
+    (sessions.toSeq, Option(cur))
+  }
+
+  /** Gap-based sessionization, BATCH entry (the st1 oracle path): every
+    * session emits, including the trailing open one — batch input is
+    * complete by definition.
+    */
   def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._
     val ds = events
@@ -65,23 +91,51 @@ object EventsStream {
       .flatMapGroupsWithState[List[SessionState], Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // batch-mode friendly: events arrive unordered within the group
-          val evs = it.toSeq.sortBy(_.ts.getTime)
-          val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var cur: SessionState = null
-          evs.foreach { e =>
-            val t = e.ts.getTime
-            if (cur == null) cur = SessionState(t, t, 1, e.value)
-            else if (t - cur.lastSeen > gapMs) {
-              sessions += Session(userId, cur.start, cur.lastSeen, cur.nEvents, cur.sumValue)
-              cur = SessionState(t, t, 1, e.value)
-            } else cur = cur.copy(lastSeen = t, nEvents = cur.nEvents + 1,
-              sumValue = cur.sumValue + e.value)
-          }
-          if (cur != null)
-            sessions += Session(userId, cur.start, cur.lastSeen, cur.nEvents, cur.sumValue)
+          val (closed, open) = gapSplit(userId, None, it.toSeq.sortBy(_.ts.getTime), gapMs)
           state.update(Nil)
-          sessions.iterator
+          (closed ++ open.map(c =>
+            Session(userId, c.start, c.lastSeen, c.nEvents, c.sumValue))).iterator
+      }.toDF()
+  }
+
+  /** Gap-based sessionization, STREAMING entry: the open session CARRIES
+    * ACROSS microbatches in GroupState (a session spanning two batches must
+    * not split), closed sessions emit as soon as a later event proves the
+    * gap, and the trailing open session emits when the event-time watermark
+    * passes lastSeen + gap (state timeout) — i.e. once it provably cannot
+    * be extended. Requires a watermark on `ts`; late events beyond it are
+    * the watermark's contract, not this operator's.
+    */
+  def sessionizeStream(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + gap: the open session is final
+            val out = state.get.map(c =>
+              Session(userId, c.start, c.lastSeen, c.nEvents, c.sumValue))
+            state.remove()
+            out.iterator
+          } else {
+            val prior = if (state.exists) state.get.headOption else None
+            val (closed, open) =
+              gapSplit(userId, prior, it.toSeq.sortBy(_.ts.getTime), gapMs)
+            open match {
+              case Some(c) =>
+                state.update(List(c))
+                state.setTimeoutTimestamp(c.lastSeen + gapMs)
+              case None => if (state.exists) state.remove()
+            }
+            closed.iterator
+          }
       }.toDF()
   }
 }

@@ -35,17 +35,25 @@ object StreamingExtract {
       .toDF()
   }
 
-  /** Streaming byte-identical textification. */
+  /** Streaming byte-identical textification — the SAME per-language
+    * semantics as the batch gather-join path: entities normalize in
+    * `dataLang(page lang)` and labels resolve from the (id, dataLang) dim,
+    * so de/ar pages stream the exact bytes the batch texts table holds.
+    * `labels` is the per-language dimension keyed (id, dataLang).
+    */
   def textStream(spark: SparkSession, pagesDir: String,
-                 labels: Broadcast[Map[String, String]]): DataFrame = {
+                 labels: Broadcast[Map[(String, String), String]]): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(pagesDir).schema
     spark.readStream.schema(schema).parquet(pagesDir)
       .select("url", "html", "lang").as[(String, Array[Byte], String)]
       .flatMap { case (url, html, lang) =>
         PagesGen.extractPayload(html).flatMap(WikidataJson.parseLine).map { item =>
-          val e = WikidataJson.normalize(item, "en")
-          (url, e.id, new Textifier(LangVariant(lang), labels.value.get).entityToText(e))
+          val dl = LangVariant.dataLang(lang)
+          val e = WikidataJson.normalize(item, dl)
+          (url, e.id,
+            new Textifier(LangVariant(lang), id => labels.value.get((id, dl)))
+              .entityToText(e))
         }
       }
       .toDF("url", "id", "text")
@@ -58,7 +66,7 @@ object StreamingExtract {
     * so batch and stream cannot drift.
     */
   def mentionsStream(spark: SparkSession, pagesDir: String,
-                     labels: Broadcast[Map[String, String]],
+                     labels: Broadcast[Map[(String, String), String]],
                      trie: Broadcast[graft.mention.AhoCorasick],
                      maxCandidates: Int = 50): DataFrame = {
     // the SAME batch kernels over the streaming text frame: resolvedRows is

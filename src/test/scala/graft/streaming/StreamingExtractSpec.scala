@@ -18,8 +18,21 @@ class StreamingExtractSpec extends AnyFunSuite {
     PagesGen.pages(spark, 80, partitions = 4).write.parquet(pagesDir)
     val labels = graft.pipeline.TextifyStage
       .harvestLabels(spark, graft.pipeline.TextifyStage.payloads(spark, spark.read.parquet(pagesDir)))
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
       .select("id", "label").as[(String, String)].collect().toMap
     (pagesDir, spark.sparkContext.broadcast(labels))
+  }
+
+  /** Per-language label dim keyed (id, dataLang) — what text/mention streams
+    * take (the batch gather-join's semantics).
+    */
+  private lazy val langLabels: org.apache.spark.broadcast.Broadcast[Map[(String, String), String]] = {
+    val (pagesDir, _) = setup
+    val m = graft.pipeline.TextifyStage
+      .harvestLabels(spark, graft.pipeline.TextifyStage.payloads(spark, spark.read.parquet(pagesDir)))
+      .select("id", "lang", "label").as[(String, String, String)].collect()
+      .map { case (id, lang, label) => (id, lang) -> label }.toMap
+    spark.sparkContext.broadcast(m)
   }
 
   test("streaming triple extraction == batch extraction") {
@@ -38,12 +51,25 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
-  test("streaming mention detection == batch mentions") {
-    val (pagesDir, labels) = setup
+  test("streaming text + mention detection == the batch PRODUCTION path (per-lang data)") {
+    val (pagesDir, _) = setup
     val ckpt = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ckptm-").toString
-    // dictionary + trie from the same corpus the batch path uses
-    val labelsDf = graft.pipeline.TextifyStage
-      .harvestLabels(spark, graft.pipeline.TextifyStage.payloads(spark, spark.read.parquet(pagesDir)))
+    val ckptT = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ckptt-").toString
+    val payloads = graft.pipeline.TextifyStage.payloads(spark, spark.read.parquet(pagesDir))
+    val labelsDf = graft.pipeline.TextifyStage.harvestLabels(spark, payloads)
+
+    // batch production texts: the gather-join renderer itself, ungated
+    val batchTexts = graft.pipeline.TextifyStage.render(spark, payloads, labelsDf)
+      .select("url", "id", "text")
+
+    // streamed texts must equal them byte-for-byte — including de/ar pages,
+    // whose entities normalize in their own data language
+    val streamedTexts = StreamingExtract.drain(spark,
+      StreamingExtract.textStream(spark, pagesDir, langLabels), "texts_stream", ckptT)
+    assert(streamedTexts.collect().map(_.toString).sorted.toSeq ==
+      batchTexts.collect().map(_.toString).sorted.toSeq)
+
+    // and the mention stage over them matches the batch Linker
     val dict = labelsDf
       .filter(!org.apache.spark.sql.functions.col("is_property") &&
         org.apache.spark.sql.functions.col("lang") === "en")
@@ -59,29 +85,20 @@ class StreamingExtractSpec extends AnyFunSuite {
       graft.mention.AhoCorasick.build(dict.as[(String, Seq[String])].collect().map(d => d._1 -> d._2)))
 
     val streamed = StreamingExtract.drain(spark,
-      StreamingExtract.mentionsStream(spark, pagesDir, labels, trie), "mentions_stream", ckpt)
+      StreamingExtract.mentionsStream(spark, pagesDir, langLabels, trie), "mentions_stream", ckpt)
       .collect().map(_.toString).sorted.toSeq
-
-    val texts = graft.pipeline.TextifyStage.payloads(spark, spark.read.parquet(pagesDir))
-      .collect().flatMap { pp =>
-        WikidataJson.parseLine(pp.payload).map { item =>
-          val e = WikidataJson.normalize(item, "en")
-          (pp.url, e.id, new graft.textify.Textifier(
-            graft.textify.LangVariant(pp.lang), id => labels.value.get(id)).entityToText(e))
-        }
-      }.toSeq.toDF("url", "id", "text")
-    val batch = graft.link.Linker.mentions(spark, texts, trie)
+    val batch = graft.link.Linker.mentions(spark, batchTexts, trie)
       .collect().map(_.toString).sorted.toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
 
   test("restart with the same checkpoint processes nothing new (offset resume)") {
-    val (pagesDir, labels) = setup
+    val (pagesDir, _) = setup
     val base = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ckpt2-").toString
     val ckpt = s"$base/ckpt"
     val out = s"$base/out"
     def runOnce(): Long = {
-      val q = StreamingExtract.textStream(spark, pagesDir, labels)
+      val q = StreamingExtract.textStream(spark, pagesDir, langLabels)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
