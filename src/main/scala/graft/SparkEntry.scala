@@ -110,6 +110,9 @@ object SparkEntry {
     // S13: stage-6 HF export rows (clean_entity + labels splice + compact
     // json columns), golden-pinned byte-exact by HfExportGoldenSpec
     "kg10_hf_export" -> (KgQueries.hfExport _),
+    // LSH candidate generation for linking (north-star) — oracle recomputes
+    // planes/buckets/join/cosine/window from the materialized frames
+    "kg11_links_lsh" -> (KgQueries.linksLsh _),
   )
 
   /** Single source of truth for the oracle-frame location: the SQL below
@@ -697,6 +700,47 @@ object SparkEntry {
         |FROM j
         |WHERE qid = 'Q100007'
         |  AND (NOT isQidValue OR (_vlabel IS NOT NULL AND length(stripped) > 0))""".stripMargin,
+    // kg11: LSH-candidate linking — the oracle RECOMPUTES the md5-derived
+    // hyperplanes, both sides' sign buckets, the same-bucket join, the
+    // bit-exact cosine and the top-K window from the materialized frames
+    // (mirrors Linker.linkLshScored at bits=10, tables=6, dim=32, seed 91+t)
+    "kg11_links_lsh" ->
+      s"""WITH m AS (
+         |  SELECT *, sqrt(${sqlDot("ctx_vec", "ctx_vec")}) AS mn
+         |  FROM read_parquet('$OF/kg11_mentions/*.parquet')),
+         |v AS (
+         |  SELECT id AS qid, vec, sqrt(${sqlDot("vec", "vec")}) AS vn
+         |  FROM read_parquet('$OF/kg11_vecs/*.parquet')),
+         |pl AS (
+         |  SELECT t.t, b.b,
+         |    list_transform(range(32), i ->
+         |      CAST('0x' || substring(md5(CAST(91 + t.t AS VARCHAR) || '_' ||
+         |        CAST(b.b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+         |      / 2147483648.0 - 1.0) AS plane
+         |  FROM range(6) t(t) CROSS JOIN range(10) b(b)),
+         |mb AS (
+         |  SELECT m.url, m."begin", m."end", m.surface, m.ctx_vec, m.mn, p.t,
+         |    CAST(sum(CASE WHEN ${sqlDot("m.ctx_vec", "p.plane")} >= 0
+         |      THEN (1 << p.b) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM m CROSS JOIN pl p
+         |  GROUP BY m.url, m."begin", m."end", m.surface, m.ctx_vec, m.mn, p.t),
+         |vb AS (
+         |  SELECT v.qid, v.vec, v.vn, p.t,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.vec", "p.plane")} >= 0
+         |      THEN (1 << p.b) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM v CROSS JOIN pl p
+         |  GROUP BY v.qid, v.vec, v.vn, p.t),
+         |cand AS (
+         |  SELECT DISTINCT mb.url, mb."begin", mb."end", mb.surface, vb.qid,
+         |    CASE WHEN mb.mn * vb.vn = 0 THEN 0.0
+         |         ELSE ${sqlDot("mb.ctx_vec", "vb.vec")} / (mb.mn * vb.vn) END AS score
+         |  FROM mb JOIN vb ON mb.t = vb.t AND mb.bucket = vb.bucket),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY url, "begin"
+         |    ORDER BY score DESC, qid ASC) AS rank
+         |  FROM cand)
+         |SELECT url, "begin", "end", surface, qid, round(score, 6) AS score, rank
+         |FROM r WHERE rank <= 5""".stripMargin,
     // lid1: the per-doc trigram/fingerprint kernel is materialized as
     // (doc × candidate-language) score rows; the oracle replays the argmax
     // (window max + min-lang tie-break, 'und' when nothing scores above 0)

@@ -85,6 +85,31 @@ object KgQueries {
       .withColumn("score", round(col("score"), 6))
   }
 
+  /** LSH-candidate entity linking (the north-star's "LSH candidate
+    * generation"): mention contexts and entity item-texts sign-bucketed with
+    * shared md5-derived hyperplanes, same-bucket equi-join, exact rescoring,
+    * per-mention top-K. Under graft.Verify the embedded mention frame and
+    * entity vecs are materialized; the DuckDB oracle recomputes the planes,
+    * buckets, join, cosine and window from them (hard rows+schema+hash).
+    */
+  def linksLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labelsDf = labels(spark)
+    val texts = TextifyStage.render(spark, payloads(spark), labelsDf).persist()
+    val entityVecs = Embedder.embedDataset(
+      texts.select("id", "text").as[(String, String)]).toDF("id", "vec")
+    val resolved = Linker.resolvedMentions(spark, texts, dictOf(labelsDf))
+    // bits=10: this corpus' embeddings are CORRELATED (shared vocabulary),
+    // so 6-bit buckets collided ~3x above the uniform estimate and the
+    // candidate stream hit ~5M rows; 1024 buckets keep it ~100k. bits is
+    // the recall-vs-candidate-volume dial — tune per corpus.
+    Linker.linkLshScored(
+      materializeForOracle(Linker.embedMentions(resolved), "kg11_mentions"),
+      materializeForOracle(entityVecs, "kg11_vecs"),
+      k = 5, bits = 10, tables = 6, dimLen = graft.link.Embedder.dim)
+      .withColumn("score", round(col("score"), 6))
+  }
+
   /** Triple extraction over the corpus payloads. Under graft.Verify the
     * parsed claim-rows and label frames are materialized so the DuckDB
     * oracle replays the join/render half (see [[OracleFrames]]).

@@ -76,16 +76,19 @@ object Similarity {
       graft.triples.Triples.md5Hex(s"${seed}_${b}_${i}").substring(0, 8), 16) /
       2147483648.0 - 1.0
 
-  /** Seeded random hyperplanes → sign-bit bucket id per vector. */
+  /** Seeded random hyperplanes → sign-bit bucket id per vector. Projections
+    * run through the codegen'd `graft_fddot` (float vec × double plane,
+    * double accumulate — the same bit-contract as the HOF form, so oracle
+    * replicas are unchanged; the interpreted per-element lambda dispatch of
+    * `aggregate(zip_with(...))` was the LSH paths' per-row hot cost).
+    */
   def lshBucket(v: Column, dimLen: Int, bits: Int, seed: Long): Column = {
     // plane(b)(i) deterministic from (seed, b, i); sign of projection = bit b
     val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
       (0 until dimLen).map(i => planeCoord(seed, b, i))
     }
     (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(v, array(planes(b).map(lit): _*), (x, p) => x * p),
-        lit(0.0d), (acc, x) => acc + x)
+      val proj = graft.functions.VectorOps.fddot(v, array(planes(b).map(lit): _*))
       when(proj >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
   }
