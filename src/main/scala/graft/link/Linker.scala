@@ -247,15 +247,25 @@ object Linker {
   def linkLshScored(ments0: DataFrame, entityVecs: DataFrame,
                     k: Int, bits: Int, tables: Int, dimLen: Int): DataFrame = {
     import graft.operators.Similarity
-
     val ments = ments0
       .withColumn("_n", Similarity.norm(col("ctx_vec")))
       .persist() // every hash table re-buckets the same embedded frame
-
     val ents = entityVecs.select(col("id").as("qid"), col("vec"))
       .withColumn("_en", Similarity.norm(col("vec")))
       .persist()
+    // eager materialize (lineage truncation) before releasing the inputs
+    val out = linkLshFrame(ments, ents, k, bits, tables, dimLen).localCheckpoint(true)
+    ments.unpersist(); ents.unpersist()
+    out
+  }
 
+  /** The join/score/top-K plan itself, persist/checkpoint lifecycle aside
+    * (PlanShapeSpec pins this plan). `ments` must carry `_n`, `ents` must be
+    * (qid, vec, _en).
+    */
+  def linkLshFrame(ments: DataFrame, ents: DataFrame,
+                   k: Int, bits: Int, tables: Int, dimLen: Int): DataFrame = {
+    import graft.operators.Similarity
     // all hash tables in ONE frame: per-table buckets computed as an array
     // in a single projection, posexploded to (t, bucket) rows, and ONE
     // equi-join on (t, bucket) — a per-table union-of-joins ran `tables`
@@ -277,12 +287,9 @@ object Linker {
       .dropDuplicates("url", "begin", "qid")
 
     val w = Window.partitionBy("url", "begin").orderBy(desc("score"), asc("qid"))
-    val out = candidates
+    candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("url", "begin", "end", "surface", "qid", "score", "rank")
-      .localCheckpoint(true)
-    ments.unpersist(); ents.unpersist()
-    out
   }
 }

@@ -108,6 +108,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "candidate resolution must be an equi-join on qid, not a nested-loop scan")
   }
 
+  test("kg11: LSH link is one shuffle-hash bucket join with codegen'd projections") {
+    // the query's final plan is truncated by its eager checkpoint, so pin
+    // the join/score/top-K plan seam directly on tiny synthetic frames
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val S = graft.operators.Similarity
+    val ments = Seq(("u1", "s", 0, 3, Seq(1f, 0f)), ("u2", "s", 1, 4, Seq(0f, 1f)))
+      .toDF("url", "surface", "begin", "end", "ctx_vec")
+      .withColumn("ctx_vec", col("ctx_vec").cast("array<float>"))
+      .withColumn("_n", S.norm(col("ctx_vec")))
+    val ents = Seq(("Q1", Seq(1f, 0f)), ("Q2", Seq(0f, 1f)))
+      .toDF("qid", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+      .withColumn("_en", S.norm(col("vec")))
+    val p = graft.link.Linker.linkLshFrame(ments, ents, k = 5, bits = 4, tables = 2, dimLen = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("graft_fddot"), p.take(1200)) // plane projections codegen'd
+    assert(p.contains("ShuffledHashJoin"),
+      "bucket rendezvous must hash, not sort embedding payloads:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("s5: IVF probes broadcast; corpus side stays a single scan per stage") {
     val p = planOf("s5_ann_ivf")
     assert(p.contains("graft_fdot"), p.take(1200))
