@@ -175,6 +175,15 @@ object SparkEntry {
        |    CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END AS relevant
        |  FROM sc)""".stripMargin
 
+  /** Zero-sign note: every oracle that rounds a possibly-tiny-negative
+    * double (cosines, jaccards, log-odds) adds `+ 0` after the round.
+    * DuckDB's `round(-1e-9, 6)` preserves IEEE signed zero (`-0.0`) while
+    * Spark's round goes through BigDecimal (no signed zero → `+0.0`); the
+    * values compare equal under `==` but differ at the byte level the
+    * driver hashes (this was kg3's one red row in round 3). `-0.0 + 0`
+    * is `+0.0` by IEEE 754, so the guard normalizes without changing any
+    * non-zero value. ZeroSignSpec pins the engine side of the contract.
+    */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -415,7 +424,7 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |sizes AS (SELECT doc_id, count(*) AS nsh FROM inv GROUP BY doc_id)
         |SELECT a, b,
-        |  round(inter * 1.0 / (sa.nsh + sb.nsh - inter), 6) AS jaccard
+        |  round(inter * 1.0 / (sa.nsh + sb.nsh - inter), 6) + 0 AS jaccard
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = a
         |JOIN sizes sb ON sb.doc_id = b
@@ -463,7 +472,7 @@ object SparkEntry {
          |  FROM cand c
          |  JOIN nn x ON x.vec_id = c.a
          |  JOIN nn y ON y.vec_id = c.b)
-         |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.3""".stripMargin,
+         |SELECT a, b, round(cos, 6) + 0 AS cos FROM p WHERE cos >= 0.3""".stripMargin,
     "s3_embedding_neardup" ->
       s"""WITH nn AS (
          |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
@@ -473,7 +482,7 @@ object SparkEntry {
          |    CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
          |         ELSE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) END AS cos
          |  FROM nn x JOIN nn y ON x.vec_id < y.vec_id)
-         |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.3""".stripMargin,
+         |SELECT a, b, round(cos, 6) + 0 AS cos FROM p WHERE cos >= 0.3""".stripMargin,
     "s5_ann_ivf" ->
       s"""WITH nn AS (
          |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
@@ -527,7 +536,7 @@ object SparkEntry {
          |  round(avg(coalesce(top1_hit, 0)), 6) AS accuracy,
          |  round(avg(CASE WHEN best_rel IS NOT NULL AND best_irrel IS NOT NULL THEN
          |      ln((best_rel + 1) / 2 / (1.0 - (best_rel + 1) / 2 + 1e-9)) -
-         |      ln((best_irrel + 1) / 2 / (1.0 - (best_irrel + 1) / 2 + 1e-9)) END), 6) AS log_odds_gap
+         |      ln((best_irrel + 1) / 2 / (1.0 - (best_irrel + 1) / 2 + 1e-9)) END), 6) + 0 AS log_odds_gap
          |FROM pq2""".stripMargin,
     "em2_rerank" ->
       s"""${retrievalCte()},
@@ -541,7 +550,7 @@ object SparkEntry {
          |FROM rr""".stripMargin,
     "em3_filtered_retrieval" ->
       s"""${retrievalCte("AND (e.label = q.query_label OR e.label = q.query_label + 1)")}
-         |SELECT query_id, neighbor_id, neighbor_label, rank, relevant, round(cos, 6) AS cos
+         |SELECT query_id, neighbor_id, neighbor_label, rank, relevant, round(cos, 6) + 0 AS cos
          |FROM r WHERE rank <= 10""".stripMargin,
     "st1_sessionize" ->
       """WITH e AS (
@@ -652,7 +661,7 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY url, "begin"
          |    ORDER BY score_raw DESC, qid ASC) AS rank
          |  FROM s)
-         |SELECT url, "begin", "end", surface, qid, round(score_raw, 6) AS score, rank
+         |SELECT url, "begin", "end", surface, qid, round(score_raw, 6) + 0 AS score, rank
          |FROM r WHERE rank <= 5""".stripMargin,
     // kg5: connected components recomputed INDEPENDENTLY from the
     // materialized edge/node frames — recursive-CTE transitive closure +
@@ -739,7 +748,7 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY url, "begin"
          |    ORDER BY score DESC, qid ASC) AS rank
          |  FROM cand)
-         |SELECT url, "begin", "end", surface, qid, round(score, 6) AS score, rank
+         |SELECT url, "begin", "end", surface, qid, round(score, 6) + 0 AS score, rank
          |FROM r WHERE rank <= 5""".stripMargin,
     // lid1: the per-doc trigram/fingerprint kernel is materialized as
     // (doc × candidate-language) score rows; the oracle replays the argmax

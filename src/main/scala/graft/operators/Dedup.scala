@@ -90,6 +90,12 @@ object Dedup {
   /** MinHash + LSH banding: docs sharing any band bucket are candidate
     * pairs; est_jaccard = fraction of agreeing signature positions.
     * Returns (a, b, est_jaccard) with a < b.
+    *
+    * Lifecycle: the bucket frame is persisted for the duration of the call
+    * only — the (small) survivor pairs are materialized eagerly and the
+    * cache released before returning, so a long-lived driver calling this
+    * per corpus snapshot doesn't accumulate one cached signature frame per
+    * call (CacheHygieneSpec walks every query entry and asserts this).
     */
   def minhashLsh(spark: SparkSession, dir: String, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
@@ -105,7 +111,15 @@ object Dedup {
     // computed once per doc, not once per side
     val buckets = d.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bucket"))
       .persist()
+    val out = minhashLshFrame(buckets, numHashes, threshold).localCheckpoint(true)
+    buckets.unpersist()
+    out
+  }
 
+  /** The candidate-join/estimate plan over a (pre-persisted) bucket frame —
+    * the plan seam PlanShapeSpec pins.
+    */
+  def minhashLshFrame(buckets: DataFrame, numHashes: Int, threshold: Double): DataFrame = {
     val l = buckets.select(col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
     val r = buckets.select(col("bucket"), col("doc_id").as("b"), col("sig").as("sigb"))
     // similarity-filter BEFORE the (a,b) dedup shuffle: the estimate is a
@@ -176,6 +190,15 @@ object Dedup {
       d.select(col("doc_id"), col("sig"),
         lit(b).as("block"), shiftright(col("sig"), lo).bitwiseAND(lit(mask)).as("key"))
     }.reduce(_ unionByName _).persist() // feeds both self-join sides
+    // materialize the (small) survivor pairs, then release the block cache
+    // (the per-call lifecycle rule — see minhashLsh)
+    val out = simhashNearDupFrame(blocks, maxDist).localCheckpoint(true)
+    blocks.unpersist()
+    out
+  }
+
+  /** The block-bucket candidate join over a (pre-persisted) block frame. */
+  def simhashNearDupFrame(blocks: DataFrame, maxDist: Int): DataFrame = {
     val l = blocks.select(col("block"), col("key"), col("doc_id").as("a"), col("sig").as("siga"))
     val r = blocks.select(col("block"), col("key"), col("doc_id").as("b"), col("sig").as("sigb"))
     // hamming-filter before the (a,b) dedup shuffle — same ordering rule as
@@ -204,16 +227,31 @@ object Dedup {
     */
   def ngramJaccardExact(spark: SparkSession, dir: String, threshold: Double = 0.03,
                         maxDf: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = withShingles(spark, dir)
-    val invAll = d.select(col("doc_id"), explode(col("sh")).as("g"))
     // persist the capped postings: they feed BOTH self-join sides and the
     // per-doc sizes — without it the shingle map ran 4× per query (MEMORY_AND
-    // _DISK, so at scale the posting list spills rather than recomputes)
-    val inv = invAll
+    // _DISK, so at scale the posting list spills rather than recomputes);
+    // released after the (small) survivor pairs are materialized
+    val inv = cappedPostings(spark, dir, maxDf).persist()
+    val out = ngramJaccardFrame(inv, threshold).localCheckpoint(true)
+    inv.unpersist()
+    out
+  }
+
+  /** The df-capped inverted index (doc_id, g): the window count rides the
+    * same hash-partitioning by `g` the downstream self-join needs anyway.
+    */
+  def cappedPostings(spark: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = withShingles(spark, dir)
+    d.select(col("doc_id"), explode(col("sh")).as("g"))
       .withColumn("_df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("_df") <= maxDf).drop("_df")
-      .persist()
+  }
+
+  /** The inverted-index self-join + Jaccard over (pre-persisted) postings —
+    * the plan seam PlanShapeSpec pins.
+    */
+  def ngramJaccardFrame(inv: DataFrame, threshold: Double): DataFrame = {
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = inv.as("x").join(inv.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))

@@ -73,16 +73,27 @@ object KgQueries {
     * window) as a hard rows+schema+hash check.
     */
   def links(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val labelsDf = labels(spark)
     val texts = TextifyStage.render(spark, payloads(spark), labelsDf).persist()
-    val entityVecs = Embedder.embedDataset(
-      texts.select("id", "text").as[(String, String)]).toDF("id", "vec")
-    Linker.scoreTopK(
+    // materialize the (small) link rows eagerly, then release the texts
+    // cache — a long-lived driver otherwise leaks one full-corpus cached
+    // frame per call (the Linker.resolvedMentions lifecycle pattern;
+    // CacheHygieneSpec asserts nothing stays cached). The join/score/top-K
+    // plan itself is pinned on the scoreTopK seam in PlanShapeSpec.
+    val out = Linker.scoreTopK(
       materializeForOracle(Linker.contextVecs(mentionsOf(spark, texts, labelsDf)), "kg3_mentions"),
-      materializeForOracle(entityVecs, "kg3_vecs"),
+      materializeForOracle(entityVecsOf(spark, texts), "kg3_vecs"),
       k = 5)
       .withColumn("score", round(col("score"), 6))
+      .localCheckpoint(true)
+    texts.unpersist()
+    out
+  }
+
+  /** Item-text embeddings (id, vec) over the rendered texts. */
+  private def entityVecsOf(spark: SparkSession, texts: DataFrame): DataFrame = {
+    import spark.implicits._
+    Embedder.embedDataset(texts.select("id", "text").as[(String, String)]).toDF("id", "vec")
   }
 
   /** LSH-candidate entity linking (the north-star's "LSH candidate
@@ -93,21 +104,23 @@ object KgQueries {
     * buckets, join, cosine and window from them (hard rows+schema+hash).
     */
   def linksLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val labelsDf = labels(spark)
     val texts = TextifyStage.render(spark, payloads(spark), labelsDf).persist()
-    val entityVecs = Embedder.embedDataset(
-      texts.select("id", "text").as[(String, String)]).toDF("id", "vec")
     val resolved = Linker.resolvedMentions(spark, texts, dictOf(labelsDf))
     // bits=10: this corpus' embeddings are CORRELATED (shared vocabulary),
     // so 6-bit buckets collided ~3x above the uniform estimate and the
     // candidate stream hit ~5M rows; 1024 buckets keep it ~100k. bits is
     // the recall-vs-candidate-volume dial — tune per corpus.
-    Linker.linkLshScored(
+    // linkLshScored is already eager (internal localCheckpoint), so the
+    // texts cache can be released as soon as it returns (same lifecycle
+    // rule as links above).
+    val out = Linker.linkLshScored(
       materializeForOracle(Linker.embedMentions(resolved), "kg11_mentions"),
-      materializeForOracle(entityVecs, "kg11_vecs"),
+      materializeForOracle(entityVecsOf(spark, texts), "kg11_vecs"),
       k = 5, bits = 10, tables = 6, dimLen = graft.link.Embedder.dim)
       .withColumn("score", round(col("score"), 6))
+    texts.unpersist()
+    out
   }
 
   /** Triple extraction over the corpus payloads. Under graft.Verify the

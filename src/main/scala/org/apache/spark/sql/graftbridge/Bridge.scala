@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True when the session's CacheManager holds no cached plans — the
+    * persist-lifecycle audit hook (CacheHygieneSpec): every query entry must
+    * release what it persisted once its result is materialized. This
+    * deliberately checks the SQL cache registry, not
+    * `sparkContext.getPersistentRDDs` — eagerly `localCheckpoint`ed results
+    * legitimately hold their (small) RDD blocks until GC.
+    */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

@@ -68,13 +68,25 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("dd3: capped posting list is computed once and cached for join sides + sizes") {
-    val p = planOf("dd3_ngram_jaccard")
-    assert(p.contains("Window"), p.take(1200))
-    // the shingle map + df-cap subtree must appear as a cache scan, not be
-    // re-derived per self-join side (it ran 4x per query before)
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      "posting list not cached:\n" + p.take(2000))
-    assert(!p.contains("CartesianProduct"))
+    // the query entry is now eager (materialize-then-release lifecycle), so
+    // its final plan is a checkpoint scan — pin the inner join plan on the
+    // seam, exactly as the query builds it: persisted postings feeding both
+    // self-join sides + the sizes aggregate
+    val inv = graft.operators.Dedup.cappedPostings(spark, dir, maxDf = 1000)
+    val pInv = inv.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pInv.contains("Window"), pInv.take(1200)) // df-cap rides the g-partitioning
+    val invP = inv.persist()
+    try {
+      val p = graft.operators.Dedup.ngramJaccardFrame(invP, threshold = 0.03)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // the shingle map + df-cap subtree must appear as a cache scan, not be
+      // re-derived per self-join side (it ran 4x per query before)
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        "posting list not cached:\n" + p.take(2000))
+      assert(!p.contains("CartesianProduct"))
+    } finally invP.unpersist()
   }
 
   test("kw1: query-term and stats joins broadcast (postings never reshuffle per query)") {
@@ -100,7 +112,20 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("kg3: link scoring is an equi-join with the codegen'd fdot (no cartesian)") {
-    val p = planOf("kg3_links")
+    // the query entry is eager (materialize-then-release lifecycle), so its
+    // final plan is a checkpoint scan — pin the scoreTopK seam the query
+    // feeds, on tiny synthetic frames (the kg11 test's pattern)
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val ments = Seq(("u1", 0, 3, "s", "Q1", Seq(1f, 0f)))
+      .toDF("url", "begin", "end", "surface", "qid", "ctx_vec")
+      .withColumn("ctx_vec", col("ctx_vec").cast("array<float>"))
+    val vecs = Seq(("Q1", Seq(1f, 0f))).toDF("id", "vec")
+      .withColumn("vec", col("vec").cast("array<float>"))
+    val p = graft.link.Linker.scoreTopK(ments, vecs, k = 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("graft_fdot"), p.take(1200))
     assert(p.contains("Window")) // per-mention top-K
     assert(!p.contains("CartesianProduct"))
