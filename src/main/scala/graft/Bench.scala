@@ -5,16 +5,28 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR,
   * printed as one JSON line.
   *
-  * Each query runs twice and the second (steady-state) time is reported:
-  * the first execution pays JVM JIT + whole-stage-codegen compilation,
-  * which at real scale amortizes to zero but at sf0.1 dominated the
-  * measurement noise (the same query swung 0.6s ↔ 8s depending on run
-  * order).
+  * Timing discipline:
+  *  - one warm-up pass per query first (JVM JIT + whole-stage-codegen
+  *    compilation, which at real scale amortizes to zero but at sf0.1
+  *    dominated the noise — the same query swung 0.6s ↔ 8s by run order);
+  *  - then N timed rounds INTERLEAVED across all queries, reporting each
+  *    query's minimum. Interleaving means a multi-second host-throttling
+  *    window (this shared VM shows sporadic 2–6× slowdowns — see
+  *    BENCH/BASELINE.md) lands on different queries in different rounds,
+  *    so the min recovers the true cost; round 3's driver artifact read as
+  *    a phantom 60% regression for exactly this reason. ScalingBench has
+  *    always used min-of-interleaved-rounds for its legs.
+  *  - the cache registry is cleared between every run: the CacheManager
+  *    substitutes identical plan subtrees with a previous run's
+  *    InMemoryRelations (posting lists, signature frames, texts), which
+  *    would let a timed run skip the work those caches represent — each
+  *    timed number must include building the query's own caches.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,24 +42,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      timeOnce(fn) // warm-up: JIT + codegen compile
-      // drop the warm-up's persisted intermediates BEFORE timing: the
-      // CacheManager substitutes identical plan subtrees with the warm-up's
-      // InMemoryRelations (posting lists, signature frames, texts), which
-      // would let the timed run skip the work those caches represent — the
-      // timed number must include building a query's own caches
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    queries.foreach { case (_, fn) => timeOnce(fn); spark.catalog.clearCache() }
+
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 0 until rounds; (name, fn) <- queries) {
+      val t = timeOnce(fn)
       spark.catalog.clearCache()
-      val t = name -> timeOnce(fn)
-      // and clear again so a long session's block manager doesn't
-      // accumulate one cache per query
-      spark.catalog.clearCache()
-      t
+      // min over successful rounds; -1 only if every round failed
+      best(name) = (best.get(name), t) match {
+        case (Some(prev), cur) if prev >= 0 && cur >= 0 => math.min(prev, cur)
+        case (Some(prev), cur)                          => math.max(prev, cur)
+        case (None, cur)                                => cur
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (best.nonEmpty) best.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds}""")
     spark.stop()
   }
 }

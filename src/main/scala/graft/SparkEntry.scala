@@ -61,6 +61,9 @@ object SparkEntry {
     // IVF coarse-quantizer ANN: deterministic centroids -> fully
     // oracle-expressible (recall vs brute force additionally spec'd)
     "s5_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // IVF with TRAINED (deterministic Lloyd) centroids: the codebook is the
+    // materialized kernel; the oracle replays assignment/probe/re-rank
+    "s6_ann_ivf_trained" -> ((s, d) => Similarity.ivfTopKTrained(s, d)),
     // retrieval eval
     "em1_retrieval_metrics" -> ((s, d) => Eval.metrics(s, d)),
     "em2_rerank" -> ((s, d) => Eval.rerank(s, d)),
@@ -113,6 +116,9 @@ object SparkEntry {
     // LSH candidate generation for linking (north-star) — oracle recomputes
     // planes/buckets/join/cosine/window from the materialized frames
     "kg11_links_lsh" -> (KgQueries.linksLsh _),
+    // the hash-split export scale mode (no global window; md5-derived split
+    // the oracle recomputes) — kg10 stays the reference's sequential mode
+    "kg12_hf_export_hashed" -> (KgQueries.hfExportHashed _),
   )
 
   /** Single source of truth for the oracle-frame location: the SQL below
@@ -513,6 +519,41 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
          |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    // s6: trained-IVF — the k-means codebook is the materialized non-SQL
+    // kernel; the oracle REPLAYS the whole search half from it (assignment,
+    // probes, bit-exact re-rank, top-K window), mirroring Similarity.ivfSearch
+    "s6_ann_ivf_trained" ->
+      s"""WITH nn AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT cell, cvec, sqrt(${sqlDot("cvec", "cvec")}) AS cn
+         |  FROM read_parquet('$OF/s6_centroids/*.parquet')),
+         |asg AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT n.vec_id, n.embedding, n.nrm, c.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        CASE WHEN n.nrm * c.cn = 0 THEN 0.0
+         |             ELSE ${sqlDot("n.embedding", "c.cvec")} / (n.nrm * c.cn) END DESC,
+         |        c.cell ASC) AS cr
+         |    FROM nn n CROSS JOIN cent c) t WHERE cr = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM nn WHERE vec_id < 10),
+         |probe AS (
+         |  SELECT query_id, qvec, qn, cell FROM (
+         |    SELECT q.query_id, q.qvec, q.qn, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        CASE WHEN q.qn * c.cn = 0 THEN 0.0
+         |             ELSE ${sqlDot("q.qvec", "c.cvec")} / (q.qn * c.cn) END DESC,
+         |        c.cell ASC) AS pr
+         |    FROM q CROSS JOIN cent c) t WHERE pr <= 4),
+         |sc AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CASE WHEN p.qn * a.nrm = 0 THEN 0.0
+         |         ELSE ${sqlDot("p.qvec", "a.embedding")} / (p.qn * a.nrm) END AS cos
+         |  FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id != p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
     "em1_retrieval_metrics" ->
       s"""${retrievalCte()},
          |pq AS (
@@ -782,6 +823,13 @@ object SparkEntry {
       s"""SELECT CAST(floor((row_number() OVER (ORDER BY id) - 1) / 500.0) AS INTEGER) AS split,
         |  id, labels, descriptions, aliases, sitelinks, claims
         |FROM read_parquet('$OF/kg10_rows/*.parquet')""".stripMargin,
+    // kg12: the hash-split scale mode — the oracle RECOMPUTES the md5-derived
+    // split (first 8 hex digits of md5(id) mod 8) from the rendered rows, so
+    // the narrow-map split assignment is hard-checked end to end
+    "kg12_hf_export_hashed" ->
+      s"""SELECT CAST(CAST('0x' || substring(md5(id), 1, 8) AS BIGINT) % 8 AS INTEGER) AS split,
+        |  id, labels, descriptions, aliases, sitelinks, claims
+        |FROM read_parquet('$OF/kg12_rows/*.parquet')""".stripMargin,
     // mm1: the stub decode is the non-SQL kernel; the oracle replays the
     // per-kind aggregation from the materialized decoded-metadata frames
     "mm1_media_stats" ->

@@ -44,7 +44,11 @@ object ConnectedComponents {
     * is SparkContext-GLOBAL, so this call saves the session's previous dir
     * and restores it before returning — two pipelines (or unrelated code
     * calling `.checkpoint()`) in one session cannot silently write into each
-    * other's dirs. Spark does NOT auto-delete reliable checkpoints: the
+    * other's dirs. Caveat (Spark has no unset API): when the session had NO
+    * previous dir, the dir passed here necessarily remains installed after
+    * the call — later unrelated `.checkpoint()` calls would write into it;
+    * a warning is logged in that case rather than claiming full isolation.
+    * Spark does NOT auto-delete reliable checkpoints: the
     * RETURNED frame depends on its checkpoint files until the caller has
     * consumed (or re-materialized) it, after which the caller owns deleting
     * `checkpointDir`; set `spark.cleaner.referenceTracking.cleanCheckpoints=
@@ -57,6 +61,10 @@ object ConnectedComponents {
     // cluster mode: round frames survive executor loss. localCheckpoint is
     // the single-JVM default (no HDFS in the sandbox); same call shape.
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
+    if (checkpointDir.isDefined && prevCheckpointDir.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"session had no checkpoint dir; '${checkpointDir.get}' will remain " +
+          "the session-global checkpoint dir after this call (Spark has no unset API)")
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     try {
     def materialize(df: DataFrame): DataFrame =

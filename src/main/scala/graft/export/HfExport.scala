@@ -270,16 +270,27 @@ object HfExport {
       .select("split", "id", "labels", "descriptions", "aliases", "sitelinks", "claims")
   }
 
-  /** The 10^12-row split mode: `pmod(xxhash64(id), nSplits)` instead of the
-    * sequential window. Same rendered rows and columns, but split assignment
-    * is a narrow map — no global total order, which is the sequential mode's
+  /** The 10^12-row split mode: a hash of the id instead of the sequential
+    * window. Same rendered rows and columns, but split assignment is a
+    * narrow map — no global total order, which is the sequential mode's
     * single-partition bottleneck at scale (that mode is kept because it is
     * the reference's observable file discipline and the golden pins it).
+    *
+    * The hash is md5-derived (first 8 hex digits mod nSplits), not
+    * xxhash64: md5 is engine-portable, so the split assignment replays
+    * bit-for-bit anywhere — the kg12 DuckDB oracle recomputes it as
+    * `CAST('0x'||substring(md5(id),1,8) AS BIGINT) % n` — and is stable
+    * across Spark versions (xxhash64's seed/impl is Spark-internal). The
+    * rendered rows are materialized as the kg12 oracle frame under
+    * graft.Verify (the JSON rendering is the golden-pinned non-SQL kernel,
+    * exactly as kg10 does for the sequential mode).
     */
   def exportHashSplits(spark: SparkSession, payloads: Dataset[PagePayload],
                        nSplits: Int): DataFrame =
-    renderRows(spark, payloads).toDF()
-      .withColumn("split", pmod(xxhash64(col("id")), lit(nSplits.toLong)).cast("int"))
+    graft.operators.OracleFrames.materialize(renderRows(spark, payloads).toDF(), "kg12_rows")
+      .withColumn("split",
+        pmod(conv(substring(md5(col("id")), 1, 8), 16, 10).cast("long"),
+          lit(nSplits.toLong)).cast("int"))
       .select("split", "id", "labels", "descriptions", "aliases", "sitelinks", "claims")
 
   /** clean_entity + labels-splice + compact-json render over the corpus —

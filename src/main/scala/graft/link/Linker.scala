@@ -83,14 +83,10 @@ object Linker {
     * surface dictionary `dict(surface, ids)` stays distributed; one tiny agg
     * measures it, and only if it fits `broadcastBudgetChars` is it collected
     * into a single trie. Past the budget the dictionary hash-shards by
-    * surface into ceil(total/budget) tries and the texts get one matching
-    * pass per shard; raw (unresolved) matches union and the single-trie
-    * leftmost-longest policy replays per document — output is identical to
-    * the one-trie path (spec-pinned). The driver's collect+build peak is
-    * bounded by the budget (one shard in hand at a time); executors hold the
-    * shard tries as ordinary broadcasts (MEMORY_AND_DISK, evictable). Extra
-    * cost: one narrow text scan per shard plus one shuffle of the (small)
-    * raw-match rows.
+    * surface into ceil(total/budget) shard tries built EXECUTOR-SIDE (see
+    * [[resolvedMentions]]) — the driver never holds a shard — and the
+    * single-trie leftmost-longest policy replays per document, so output is
+    * identical to the one-trie path (spec-pinned).
     */
   def mentionsSharded(spark: SparkSession, texts: DataFrame, dict: DataFrame,
                       broadcastBudgetChars: Long = DefaultBroadcastBudgetChars,
@@ -102,9 +98,35 @@ object Linker {
     * explode: (url, self_id, surface, begin, end, qids, context). This is
     * the kg2 oracle-frame seam — [[explodeCandidates]] is the relational
     * half DuckDB replays.
+    *
+    * Past the broadcast budget the shard tries are built EXECUTOR-SIDE via
+    * a fragment-and-replicate cogroup: the dictionary hash-shards by
+    * surface into `nShards` ≤-budget fragments and is replicated across
+    * `nBuckets` text buckets; the texts hash into buckets and are
+    * replicated across shards; each (shard, bucket) cogroup task builds
+    * its shard's trie from the dictionary iterator (peak memory = one
+    * shard, the same bound the old driver build had) and streams its
+    * texts through it. Round 3 built each shard trie ON THE DRIVER in a
+    * sequential collect+build+broadcast loop — a driver-side pipeline
+    * bubble where 1000 executors idle between shard scans; this shape has
+    * no driver involvement and parallelism nShards × nBuckets. Cost moved
+    * INTO the cluster: the dictionary shuffles nBuckets copies and the
+    * texts nShards copies (both compressed columnar shuffle files), and
+    * each shard's trie is built nBuckets times — all embarrassingly
+    * parallel. Raw matches then regroup per url so the single-trie
+    * leftmost-longest policy replays exactly (output spec-pinned identical
+    * to the one-trie path).
+    *
+    * `checkpointDir`: the resolved frame is eagerly materialized (it feeds
+    * several downstream consumers; without it each would replay the
+    * texts×shards shuffle). None = `localCheckpoint` (single-JVM mode);
+    * Some(dir) = reliable `checkpoint()` so an executor loss during the
+    * long mention/link stages re-reads files instead of recomputing the
+    * corpus scan — see [[graft.tables.Checkpoints]].
     */
   def resolvedMentions(spark: SparkSession, texts: DataFrame, dict: DataFrame,
-                       broadcastBudgetChars: Long = DefaultBroadcastBudgetChars): DataFrame = {
+                       broadcastBudgetChars: Long = DefaultBroadcastBudgetChars,
+                       checkpointDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val stats = dict.agg(coalesce(sum(length(col("surface"))), lit(0L)).cast("long")).collect()(0)
     val totalChars = stats.getLong(0)
@@ -115,21 +137,42 @@ object Linker {
       return resolvedRows(spark, texts, trie)
     }
 
-    val textsP = texts.select("url", "id", "text").persist()
-    val raw = (0 until nShards).map { s =>
-      val shard = dict
-        .filter(pmod(xxhash64(col("surface")), lit(nShards)) === s)
-        .as[(String, Seq[String])].collect()
-      val trie = spark.sparkContext.broadcast(AhoCorasick.build(shard.map(d => d._1 -> d._2)))
-      textsP.as[(String, String, String)].flatMap { case (url, selfId, text) =>
-        trie.value.findRawMentions(text).map { m =>
-          val ctx = text.substring(
-            math.max(0, m.begin - contextChars),
-            math.min(text.length, m.end + contextChars))
-          (url, selfId, m.surface, m.begin, m.end, m.qids, ctx)
+    // enough buckets that shard×bucket tasks use the session's parallelism
+    val nBuckets = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt / nShards)
+
+    val dictRep = dict
+      .select(
+        pmod(xxhash64(col("surface")), lit(nShards.toLong)).cast("int").as("s"),
+        explode(lit((0 until nBuckets).toArray)).as("p"),
+        col("surface"), col("ids"))
+      .as[(Int, Int, String, Seq[String])]
+      .groupByKey(r => (r._1, r._2))
+    val textsRep = texts
+      .select(
+        explode(lit((0 until nShards).toArray)).as("s"),
+        pmod(xxhash64(col("url")), lit(nBuckets.toLong)).cast("int").as("p"),
+        col("url"), col("id"), col("text"))
+      .as[(Int, Int, String, String, String)]
+      .groupByKey(r => (r._1, r._2))
+
+    val raw = dictRep.cogroup(textsRep) { case (_, dIt, tIt) =>
+      // the dictionary side is consumed first (bounded by the shard
+      // budget); the texts side streams
+      val entries = dIt.map(r => r._3 -> r._4).toArray
+      if (entries.isEmpty) Iterator.empty
+      else {
+        val trie = AhoCorasick.build(entries)
+        tIt.flatMap { case (_, _, url, selfId, text) =>
+          trie.findRawMentions(text).map { m =>
+            val ctx = text.substring(
+              math.max(0, m.begin - contextChars),
+              math.min(text.length, m.end + contextChars))
+            (url, selfId, m.surface, m.begin, m.end, m.qids, ctx)
+          }
         }
       }
-    }.reduce(_ unionByName _)
+    }
 
     val resolved = raw
       .groupByKey(_._1)
@@ -145,15 +188,7 @@ object Linker {
           }
       }
       .toDF("url", "self_id", "surface", "begin", "end", "qids", "context")
-    // materialize the (small) resolved mention rows eagerly so the (big)
-    // texts projection can be dropped before returning — otherwise every
-    // sharded run in a long-lived driver leaks one cached texts copy.
-    // localCheckpoint is the single-JVM stand-in for reliable checkpoint();
-    // the trade (lineage truncation vs executor-loss tolerance) is the same
-    // one ConnectedComponents documents.
-    val out = resolved.localCheckpoint(true)
-    textsP.unpersist()
-    out
+    graft.tables.Checkpoints.eager(resolved, checkpointDir)
   }
 
   /** The non-SQL half of linking: each mention's local context embedded
@@ -217,8 +252,10 @@ object Linker {
     */
   def linkLsh(spark: SparkSession, resolved: DataFrame, entityVecs: DataFrame,
               k: Int = 5, bits: Int = 8, tables: Int = 4,
-              dimLen: Int = Embedder.dim): DataFrame =
-    linkLshScored(embedMentions(resolved), entityVecs, k, bits, tables, dimLen)
+              dimLen: Int = Embedder.dim,
+              checkpointDir: Option[String] = None): DataFrame =
+    linkLshScored(embedMentions(resolved), entityVecs, k, bits, tables, dimLen,
+      checkpointDir)
 
   /** The non-SQL half of LSH linking: one context embedding per mention span
     * (batched map). Output: (url, surface, begin, end, ctx_vec) — the kg11
@@ -243,9 +280,14 @@ object Linker {
   /** The relational half of LSH linking over a pre-embedded mention frame:
     * per-table sign-bucket both sides, same-bucket equi-join, exact cosine,
     * scalar-only cross-table dedup, per-mention top-K window.
+    *
+    * `checkpointDir` = reliable checkpoint for the materialized result (an
+    * executor loss after a long link stage re-reads files instead of
+    * re-running it); None = localCheckpoint, the single-JVM mode.
     */
   def linkLshScored(ments0: DataFrame, entityVecs: DataFrame,
-                    k: Int, bits: Int, tables: Int, dimLen: Int): DataFrame = {
+                    k: Int, bits: Int, tables: Int, dimLen: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
     import graft.operators.Similarity
     val ments = ments0
       .withColumn("_n", Similarity.norm(col("ctx_vec")))
@@ -254,7 +296,8 @@ object Linker {
       .withColumn("_en", Similarity.norm(col("vec")))
       .persist()
     // eager materialize (lineage truncation) before releasing the inputs
-    val out = linkLshFrame(ments, ents, k, bits, tables, dimLen).localCheckpoint(true)
+    val out = graft.tables.Checkpoints.eager(
+      linkLshFrame(ments, ents, k, bits, tables, dimLen), checkpointDir)
     ments.unpersist(); ents.unpersist()
     out
   }

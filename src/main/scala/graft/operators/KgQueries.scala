@@ -274,6 +274,14 @@ object KgQueries {
   def hfExport(spark: SparkSession, dir: String): DataFrame =
     graft.export.HfExport.export(spark, payloads(spark), rowsPerSplit = 500L)
 
+  /** The hash-split export mode under its own hard gate (kg12): same
+    * rendered rows as kg10, but split assignment is the md5-derived narrow
+    * map — the 10^12-row path with no global window. The DuckDB oracle
+    * recomputes the split from the materialized rendered rows.
+    */
+  def hfExportHashed(spark: SparkSession, dir: String): DataFrame =
+    graft.export.HfExport.exportHashSplits(spark, payloads(spark), nSplits = 8)
+
   /** Chunk explode (P9/T6): entity text → token-budget chunks with
     * deterministic ids `qid_lang_chunkIdx` (ref: docker/3:74-88). Label
     * resolution via the gather-join — no driver collect of the dictionary.

@@ -138,7 +138,15 @@ object Similarity {
     val e = emb(spark, dir).withColumn("_n", norm(col("embedding")))
     val centroids = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"), col("_n").as("_cn"))
+    ivfSearch(e, centroids, nQueries, k, nProbe)
+  }
 
+  /** The IVF search half over any centroid frame (cell, cvec, _cn): assign,
+    * probe, exact re-rank — shared by the deterministic-centroid mode (s5)
+    * and the trained mode (s6).
+    */
+  def ivfSearch(e: DataFrame, centroids: DataFrame,
+                nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     // cell assignment: rank centroids per vector by cosine, keep the top one
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("_ccos"), asc("cell"))
     val assigned = e.join(broadcast(centroids), lit(true))
@@ -168,6 +176,83 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic Lloyd (k-means) centroids over the embedding column —
+    * the trained upgrade to [[ivfTopK]]'s first-N rule: on a skewed real
+    * corpus, centroids that follow the data pull cell populations toward
+    * uniform, which is what keeps per-probe candidate volume (and recall)
+    * stable. Fully deterministic: init = the first nCells vectors by
+    * vec_id (the untrained rule), a FIXED number of iterations (no
+    * convergence race), argmax-cosine assignment with ties to the lower
+    * cell id, empty cells keep their previous centroid, means cast back to
+    * float (quantizing away partition-order low bits).
+    *
+    * Scale shape: assignment is a narrow map against broadcast centroids;
+    * the mean is one groupBy over (cell, dim) SCALARS per iteration; only
+    * nCells×dim aggregated doubles ever reach the driver — centroid
+    * training is driver-bounded by the codebook size, never the corpus.
+    * Returns (cell:int, cvec:array<float>).
+    */
+  def trainedCentroids(e0: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val e = e0.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].persist()
+    var cents: Array[Array[Float]] = e.filter(_._1 < nCells).collect()
+      .sortBy(_._1).map(_._2.toArray)
+    if (cents.isEmpty) {
+      e.unpersist()
+      return Seq.empty[(Int, Seq[Float])].toDF("cell", "cvec")
+        .withColumn("cvec", col("cvec").cast("array<float>"))
+    }
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = e.map { case (_, v) =>
+        val arr = v.toArray
+        var best = 0
+        var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < bc.value.length) {
+          val cos = graft.link.Embedder.cosine(arr, bc.value(c))
+          if (cos > bestCos) { bestCos = cos; best = c } // strict: ties keep lower c
+          c += 1
+        }
+        (best, v)
+      }.toDF("cell", "v")
+      // DECIMAL sum, not double: decimal addition is exact and therefore
+      // order-independent, so the codebook cannot drift with shuffle task
+      // completion order — the determinism the oracle gate (and the spec's
+      // c1 == c2 assertion) relies on
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1))).as("m"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep the previous centroid
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue().toFloat
+      }
+      cents = next
+      bc.destroy()
+    }
+    e.unpersist()
+    cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+  }
+
+  /** IVF with trained centroids (s6): the k-means codebook is the non-SQL
+    * kernel — materialized as an oracle frame under graft.Verify — and the
+    * DuckDB oracle replays the whole search half (assignment, probes, exact
+    * re-rank, top-K window) from it, so the trained mode carries the same
+    * hard rows+schema+hash gate as the deterministic mode.
+    */
+  def ivfTopKTrained(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                     nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val e = emb(spark, dir).withColumn("_n", norm(col("embedding")))
+    val cents = OracleFrames.materialize(trainedCentroids(e, nCells, iters), "s6_centroids")
+      .select(col("cell"), col("cvec"), norm(col("cvec")).as("_cn"))
+    ivfSearch(e, cents, nQueries, k, nProbe)
   }
 
   /** Exact embedding-cosine near-duplicate pairs: every (a, b) with a < b and

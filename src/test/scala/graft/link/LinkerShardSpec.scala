@@ -44,6 +44,43 @@ class LinkerShardSpec extends AnyFunSuite {
       s"standalone York matched inside New York City: ${single.mkString("; ")}")
   }
 
+  test("sharded mentions: reliable checkpoint mode (checkpointDir) == localCheckpoint mode") {
+    // same contract ConnectedComponentsSpec pins: the fault-tolerant mode
+    // must change durability only, never output — and must actually write
+    val dictCols = dict
+    val local = Linker.resolvedMentions(spark, texts, dictCols, broadcastBudgetChars = 12)
+      .collect().map(_.toString).sorted.toSeq
+    val ckptDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "linker-ckpt-").toString
+    val reliable = Linker.resolvedMentions(spark, texts, dictCols,
+      broadcastBudgetChars = 12, checkpointDir = Some(ckptDir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(local.nonEmpty && reliable == local)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable mode must persist the resolved frame to the dir")
+  }
+
+  test("linkLshScored: reliable checkpoint mode == localCheckpoint mode") {
+    val resolved = Linker.resolvedMentions(spark, texts, dict)
+    val entityVecs = Embedder.embedDataset(
+      Seq(("Q90", "Paris capital city of France"), ("Q142", "France country in Europe"),
+        ("Q60", "New York City metropolis"), ("Q42462", "York city in England"))
+        .toDS()).toDF("id", "vec")
+    def run(dir: Option[String]) =
+      Linker.linkLshScored(Linker.embedMentions(resolved), entityVecs,
+        k = 3, bits = 4, tables = 2, dimLen = Embedder.dim, checkpointDir = dir)
+        .collect().map(_.toString).sorted.toSeq
+    val local = run(None)
+    val ckptDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "lsh-ckpt-").toString
+    val reliable = run(Some(ckptDir))
+    assert(local.nonEmpty && reliable == local)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0)
+  }
+
   test("explodeCandidates == the scalar reference explode over 200 seeded rows") {
     // the Catalyst filter/sort/slice/explode chain is kg2's oracle-checked
     // relational half; pin it against a direct Scala fold over adversarial

@@ -108,4 +108,26 @@ class DedupSpec extends AnyFunSuite {
     info(f"IVF recall@5 vs brute force: $recall%.3f")
     assert(recall >= 0.5, f"IVF recall too low: $recall%.3f") // 4/16 cells probed
   }
+
+  test("trained IVF: Lloyd centroids match or beat the untrained first-N recall") {
+    val brute = Similarity.bruteForceTopK(spark, withEmbeddings, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val untrained = recallOf(Similarity.ivfTopK(spark, withEmbeddings, nQueries = 10, k = 5))
+    val trained = recallOf(Similarity.ivfTopKTrained(spark, withEmbeddings, nQueries = 10, k = 5))
+    info(f"IVF recall@5 — untrained: $untrained%.3f, trained: $trained%.3f")
+    assert(trained >= untrained,
+      f"training must not lose recall: trained $trained%.3f < untrained $untrained%.3f")
+    // determinism: the fixed-iteration Lloyd loop must reproduce its codebook
+    val c1 = Similarity.trainedCentroids(
+      spark.read.parquet(s"$withEmbeddings/embeddings.parquet"), nCells = 16, iters = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val c2 = Similarity.trainedCentroids(
+      spark.read.parquet(s"$withEmbeddings/embeddings.parquet"), nCells = 16, iters = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(c1 == c2 && c1.size == 16)
+  }
 }
