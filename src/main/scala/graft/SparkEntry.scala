@@ -49,6 +49,9 @@ object SparkEntry {
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dd3_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardExact(s, d)),
+    // incremental ingestion dedup: new batch vs corpus + within-batch,
+    // corpus x corpus never pairs (batch filter pushed to the scan)
+    "dd4_minhash_incremental" -> (Dedup.minhashLshIncrementalDocs _),
     // similarity search / ANN
     "s1_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -376,6 +379,43 @@ object SparkEntry {
         |  JOIN mh xb ON xb.doc_id = c.b AND xb.i = xa.i
         |  GROUP BY c.a, c.b)
         |SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+    // dd4: incremental dedup == exactly the dd1 pairs that involve >= 1
+    // batch doc (a < b, so b >= split); the split point is the same bounded
+    // floor(max*0.8) scalar the engine computes
+    "dd4_minhash_incremental" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s
+        |  FROM w WHERE len(words) >= 3),
+        |hp AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(g), 16, 8) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+        |mh AS (
+        |  SELECT doc_id, ii.i, min(h1 + ii.i * h2) AS h
+        |  FROM hp CROSS JOIN range(16) ii(i)
+        |  GROUP BY doc_id, ii.i),
+        |bk AS (
+        |  SELECT doc_id, i // 4 AS band, string_agg(h, ',' ORDER BY i) AS bkey
+        |  FROM mh GROUP BY doc_id, band),
+        |split AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS s FROM documents),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+        |    AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT c.a, c.b,
+        |    sum(CASE WHEN xa.h = xb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        |  FROM cand c
+        |  JOIN mh xa ON xa.doc_id = c.a
+        |  JOIN mh xb ON xb.doc_id = c.b AND xb.i = xa.i
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, est_jaccard FROM est, split
+        |WHERE est_jaccard >= 0.5 AND b >= split.s""".stripMargin,
     "dd2_simhash_neardup" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, t FROM (

@@ -134,6 +134,63 @@ object Dedup {
       .dropDuplicates("a", "b")
   }
 
+  /** Incremental MinHash dedup — the ingestion shape at corpus scale: a new
+    * batch (doc_id ≥ splitId) is checked against the existing corpus AND
+    * within itself, but corpus×corpus pairs NEVER form. One side of the
+    * band-bucket join is everything, the other side is ONLY the batch
+    * (its filter pushes to the scan — plan-pinned), so per-ingest cost is
+    * O(batch × collision rate), not O(corpus²) re-paired every time; at
+    * 100 TB the corpus-side signatures would be a persisted bucket-keyed
+    * table the batch joins into. Returns exactly the dd1 pairs that involve
+    * ≥1 batch doc (a < b, so that is `b ≥ splitId`) — which is how the
+    * DuckDB oracle states it.
+    */
+  def minhashLshIncremental(spark: SparkSession, dir: String, splitId: Long,
+                            numHashes: Int = 16, bands: Int = 4,
+                            threshold: Double = 0.5): DataFrame = {
+    val perBand = numHashes / bands
+    val d = minhashSigs(spark, dir, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until perBand).map(r => element_at(col("sig"), b * perBand + r + 1).as(s"r$r")): _*)
+        .as("bucket")
+    }
+    val buckets = d.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bucket"))
+      .persist()
+    val out = minhashLshIncrementalFrame(buckets, splitId, numHashes, threshold)
+      .localCheckpoint(true)
+    buckets.unpersist()
+    out
+  }
+
+  /** The incremental candidate join over a (pre-persisted) bucket frame —
+    * the plan seam PlanShapeSpec pins: the batch filter sits under exactly
+    * one join side, so corpus buckets never pair with each other.
+    */
+  def minhashLshIncrementalFrame(buckets: DataFrame, splitId: Long,
+                                 numHashes: Int, threshold: Double): DataFrame = {
+    val l = buckets.select(col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
+    // the batch side: only new docs — the corpus never self-pairs
+    val r = buckets.filter(col("doc_id") >= splitId)
+      .select(col("bucket"), col("doc_id").as("b"), col("sig").as("sigb"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), bEq => bEq))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("a", "b")
+  }
+
+  /** The dd4 query entry: the "batch" is the newest 20% of doc ids — the
+    * split point is a bounded 1-row aggregate both engines compute
+    * identically (`floor(max(doc_id) * 0.8)`).
+    */
+  def minhashLshIncrementalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val split = docs(spark, dir)
+      .agg(floor(max(col("doc_id")) * 0.8).cast("long")).collect()(0).getLong(0)
+    minhashLshIncremental(spark, dir, splitId = split)
+  }
+
   /** 64-bit SimHash per doc — typed map (single pass over tokens). */
   def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -109,6 +109,40 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"IVF recall too low: $recall%.3f") // 4/16 cells probed
   }
 
+  test("incremental minhash == full minhash restricted to pairs touching the batch") {
+    val full = Dedup.minhashLsh(spark, dir, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val split = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.max($"doc_id") * 0.8).cast("long"))
+      .as[Long].collect()(0)
+    val inc = Dedup.minhashLshIncremental(spark, dir, splitId = split, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full.filter(_._2 >= split),
+      "incremental must be exactly the full pairs whose higher id is in the batch")
+    // and the batch boundary is real: some full pair must be corpus-only
+    // (otherwise the test proves nothing about exclusion)
+    assert(full.exists(_._2 < split), s"fixture has no corpus-only pair (split=$split)")
+  }
+
+  test("incremental minhash plan: corpus buckets never self-pair (batch filter one-sided)") {
+    val sigs = Dedup.minhashSigs(spark, dir, 16)
+    import org.apache.spark.sql.functions._
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1).as(s"r$r")): _*).as("bucket")
+    }
+    val buckets = sigs.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bucket"))
+    val p = Dedup.minhashLshIncrementalFrame(buckets, splitId = 12345L,
+        numHashes = 16, threshold = 0.5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // exactly one side of the bucket join carries the batch filter
+    val filtered = p.linesIterator.count(l => l.contains("12345"))
+    assert(filtered >= 1, "batch filter missing from the plan:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("trained IVF: Lloyd centroids match or beat the untrained first-N recall") {
     val brute = Similarity.bruteForceTopK(spark, withEmbeddings, nQueries = 10, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
