@@ -235,6 +235,12 @@ object ScalingBench {
              || narrow CPU kernel | ${f"$n8%.2f"} s | ${f"$n32%.2f"} s | ${f"$effNarrow%.3f"} |
              || shuffle stages    | ${f"$s8%.2f"} s | ${f"$s32%.2f"} s | ${f"$effShuffle%.3f"} |
              |
+             |(A phase efficiency slightly above 1 is a pinning artifact, not a
+             |superlinear engine: JVM service threads — GC, JIT, Spark's own
+             |bookkeeping — consume a LARGER fraction of a $small-core budget than
+             |of $big cores, so the small leg is overcharged relative to the big
+             |one.)
+             |
              |Shared-host caveats: beyond ~8-16 busy cores this VM throttles
              |(32-thread legs sporadically run 2-6× slower than their own best,
              |independent of code), and all threads share one memory bus — so
