@@ -122,6 +122,14 @@ object SparkEntry {
     // the hash-split export scale mode (no global window; md5-derived split
     // the oracle recomputes) — kg10 stays the reference's sequential mode
     "kg12_hf_export_hashed" -> (KgQueries.hfExportHashed _),
+    // uniqueness-constraint QA: (qid, pid) with >1 distinct value
+    "kg13_conflicts" -> (KgQueries.conflicts _),
+    // degree-ordered triangle census of the entity co-occurrence graph
+    "kg14_triangles" -> (KgQueries.triangles _),
+    // exactly-once projection of an at-least-once event stream (batch form;
+    // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
+    "st2_stream_dedup" -> ((s, d) =>
+      graft.streaming.EventsStream.dedupEvents(s, s.read.parquet(s"$d/events.parquet"))),
   )
 
   /** Single source of truth for the oracle-frame location: the SQL below
@@ -648,6 +656,17 @@ object SparkEntry {
         |SELECT user_id, min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
         |  CAST(count(*) AS INTEGER) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // st2: the oracle re-creates the md5-derived retransmissions and
+    // collapses them — duplicates are verbatim rows, so DISTINCT over all
+    // columns IS dedup-by-delivery-key
+    "st2_stream_dedup" ->
+      """WITH d AS (
+        |  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, epoch_ms(ts), user_id, event_type, value FROM events
+        |  WHERE CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |        / 4294967296.0 < 0.1)
+        |SELECT DISTINCT event_id, ts_ms, user_id, event_type, value FROM d""".stripMargin,
     "kw1_keyword_search" ->
       """WITH q(query_id, term) AS (VALUES
         |  (1,'spark'),(1,'window'),(1,'batch'),
@@ -870,6 +889,44 @@ object SparkEntry {
       s"""SELECT CAST(CAST('0x' || substring(md5(id), 1, 8) AS BIGINT) % 8 AS INTEGER) AS split,
         |  id, labels, descriptions, aliases, sitelinks, claims
         |FROM read_parquet('$OF/kg12_rows/*.parquet')""".stripMargin,
+    // kg13: single-value-constraint violations from the materialized claim
+    // rows; the value set is order-pinned by sorting inside the aggregate
+    "kg13_conflicts" ->
+      s"""SELECT qid, pid, count(DISTINCT valueScalar) AS n_values,
+        |  string_agg(DISTINCT valueScalar, '|' ORDER BY valueScalar) AS "values"
+        |FROM read_parquet('$OF/kg13_claim_rows/*.parquet')
+        |GROUP BY qid, pid HAVING count(DISTINCT valueScalar) > 1""".stripMargin,
+    // kg14: triangle census replayed from the materialized mention frame —
+    // candidate explode (kg2's rule), >=2-shared-page co-occurrence edges,
+    // (degree, id)-ordered orientation, wedge + closing-edge join
+    "kg14_triangles" ->
+      s"""WITH m AS (
+        |  SELECT url,
+        |    unnest(list_slice(list_sort(list_filter(qids, q -> q != self_id)), 1, 50)) AS qid
+        |  FROM read_parquet('$OF/kg14_mentions/*.parquet')),
+        |uq AS (SELECT DISTINCT url, qid FROM m),
+        |e AS (
+        |  SELECT x.qid AS a, y.qid AS b, count(*) AS w
+        |  FROM uq x JOIN uq y ON x.url = y.url AND x.qid < y.qid
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT id, count(*) AS d
+        |  FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+        |  GROUP BY id),
+        |o AS (
+        |  SELECT CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS u,
+        |         CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS v,
+        |         CASE WHEN da.d <= db.d THEN db.d ELSE da.d END AS dv
+        |  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+        |wed AS (
+        |  SELECT w1.u, w1.v AS x, w1.dv AS dx, w2.v AS y
+        |  FROM o w1 JOIN o w2 ON w1.u = w2.u
+        |  WHERE w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v)),
+        |tri AS (
+        |  SELECT wed.u, wed.x, wed.y FROM wed
+        |  JOIN o ON o.u = wed.x AND o.v = wed.y),
+        |s AS (SELECT list_sort([u, x, y]) AS t FROM tri)
+        |SELECT t[1] AS q1, t[2] AS q2, t[3] AS q3 FROM s""".stripMargin,
     // mm1: the stub decode is the non-SQL kernel; the oracle replays the
     // per-kind aggregation from the materialized decoded-metadata frames
     "mm1_media_stats" ->

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the materialized KG — the QA half of "graph
+  * materialize": once nodes/edges exist as tables, the standard questions
+  * (co-occurrence structure, triangle density) are DataFrame jobs with the
+  * same discipline as the dedup family: orient first so nothing quadratic
+  * forms, shuffle only ids and small scalars.
+  */
+object GraphOps {
+
+  /** Weighted co-occurrence edges from a bipartite (url, qid) frame: a pair
+    * of entities is an edge iff they appear on ≥ `minShared` common pages.
+    * The url-side join is the fan-out point — per-url entity counts are
+    * bounded upstream by the mention cap, the same guard kg2 documents.
+    * Returns (a, b, w) with a < b.
+    */
+  def cooccurEdges(urlQid: DataFrame, minShared: Int): DataFrame = {
+    val spark = urlQid.sparkSession
+    import spark.implicits._
+    // group once and expand pairs narrow — a url self-join shuffles the
+    // (url, qid) rows twice and re-derives the upstream frame per side;
+    // this shape shuffles them once and the pair expansion is a map
+    urlQid.select("url", "qid").distinct()
+      .groupBy("url").agg(sort_array(collect_set(col("qid"))).as("qs"))
+      .select(col("qs")).as[Seq[String]]
+      .flatMap { qs =>
+        for { i <- qs.indices.iterator; j <- (i + 1 until qs.size).iterator }
+          yield (qs(i), qs(j))
+      }
+      .toDF("a", "b")
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minShared)
+  }
+
+  /** Triangle enumeration with degree-ordered orientation (compact-forward):
+    * every undirected edge is oriented from its (degree, id)-smaller
+    * endpoint to the larger, which turns the edge set into a DAG where each
+    * wedge-center's out-degree is O(sqrt(|E|)) — the classic bound that
+    * keeps the wedge join from going quadratic on hubs at corpus scale
+    * (a naive u-join enumerates deg² wedges at every hub). Each triangle is
+    * then counted exactly once: as the wedge at its order-minimal vertex,
+    * closed by the oriented edge between the other two.
+    *
+    * Input: (a, b, ...) undirected edges with a < b. Output: one row per
+    * triangle, corners sorted by id — (q1, q2, q3).
+    */
+  def triangles(edges0: DataFrame): DataFrame = {
+    // the edge frame feeds the degree count AND both orientation joins, and
+    // the oriented frame feeds both wedge sides plus the closing semi-join:
+    // persist each for the duration of the call or the upstream subtree
+    // re-derives once per reference (the self-join recompute trap), then
+    // materialize the (small) triangle rows and release
+    val edges = edges0.select("a", "b").persist()
+    val deg = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+    // orient u -> v with u the (degree, id)-lexicographic minimum; a < b
+    // already, so the id tie-break is simply a
+    val aFirst = col("da") < col("db") || (col("da") === col("db"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist()
+
+    // wedges at u, enumerated in the SAME total order the orientation used,
+    // so the closing edge is oriented x -> y by construction
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+    val out = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "leftsemi")
+      .select(array_sort(array(col("u"), col("x"), col("y"))).as("t"))
+      .select(element_at(col("t"), 1).as("q1"),
+        element_at(col("t"), 2).as("q2"),
+        element_at(col("t"), 3).as("q3"))
+      .localCheckpoint(true)
+    edges.unpersist(); oriented.unpersist()
+    out
+  }
+}

@@ -168,6 +168,40 @@ object KgQueries {
       .withColumn("url", lit(url))
   }
 
+  /** Uniqueness-constraint QA (Wikidata's "single-value constraint", the
+    * canonicalization-stage conflict detector): every (qid, pid) carrying
+    * more than one distinct value, with the value set pinned as a sorted
+    * join (deterministic under any partitioning). One groupBy over the
+    * claim rows — at corpus scale this is a map-side-combined aggregate on
+    * the same (qid, pid) key the triple table is bucketed by.
+    */
+  def conflicts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = payloads(spark).map(_.payload).flatMap { line =>
+      WikidataJson.parseLine(line).map(WikidataJson.toClaimRows(_, "en")).getOrElse(Seq.empty)
+    }.toDF()
+    materializeForOracle(rows.select("qid", "pid", "valueScalar"), "kg13_claim_rows")
+      .groupBy("qid", "pid")
+      .agg(countDistinct("valueScalar").as("n_values"),
+        concat_ws("|", array_sort(collect_set(col("valueScalar")))).as("values"))
+      .filter(col("n_values") > 1)
+  }
+
+  /** Triangle census of the entity co-occurrence graph (pairs sharing ≥ 2
+    * pages): the "graph materialize" QA query — built from the SAME resolved
+    * mention frame the link stages use, oriented degree-first so hubs never
+    * go quadratic (see [[GraphOps.triangles]]). The DuckDB oracle replays
+    * candidate explode → pair join → orientation → wedge-close from the
+    * materialized mention frame.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val labelsDf = labels(spark)
+    val resolved = Linker.resolvedMentions(spark, extractText(spark, dir), dictOf(labelsDf))
+    val urlQid = Linker.explodeCandidates(
+      materializeForOracle(resolved, "kg14_mentions")).select("url", "qid")
+    GraphOps.triangles(GraphOps.cooccurEdges(urlQid, minShared = 2))
+  }
+
   /** Qualifier + reference sub-triples (P6, notebook get_triplets semantics):
     * one row per main/qualifier/reference part, golden-pinned by
     * TripletsGoldenSpec against executing the reference notebook's own code.

@@ -138,4 +138,41 @@ object EventsStream {
           }
       }.toDF()
   }
+
+  /** Deterministic at-least-once retransmission model: a 10% md5-derived
+    * sample of events is re-delivered VERBATIM (exact duplicate rows, as a
+    * retry produces). md5-derived so the DuckDB oracle selects the same
+    * sample; verbatim so dedup's pick-any-representative is deterministic
+    * set-wise.
+    */
+  def withRetransmissions(events: DataFrame): DataFrame =
+    events.unionByName(events.filter(
+      conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") / lit(4294967296.0) < 0.1))
+
+  /** Exactly-once projection of an at-least-once stream, BATCH entry (the
+    * st2 oracle path): duplicates collapse on the delivery key. Output uses
+    * epoch millis so the oracle compare is timestamp-encoding-free.
+    */
+  def dedupEvents(spark: SparkSession, events: DataFrame): DataFrame =
+    withRetransmissions(events)
+      .dropDuplicates("event_id")
+      .select(col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+        col("user_id"), col("event_type"), col("value"))
+
+  /** The STREAMING entry: `dropDuplicatesWithinWatermark` keys the dedup
+    * state by event_id and expires it once the watermark passes — the
+    * bounded-state form of exactly-once projection (an unbounded-key
+    * `dropDuplicates` on a stream never frees state; the watermark variant
+    * is the 10^12-event shape). StreamDedupSpec pins stream == batch.
+    */
+  def dedupEventsStream(events: DataFrame,
+                        watermarkDelay: String = "2 hours"): DataFrame =
+    withRetransmissions(events)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("user_id"), col("event_type"), col("value"))
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The degree-ordered triangle enumeration must agree with brute force —
+  * every triple checked — on seeded random graphs, including ones with a
+  * hub (the vertex the orientation exists to protect against), and count
+  * each triangle exactly once.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def bruteTriangles(edges: Set[(String, String)]): Set[(String, String, String)] = {
+    val adj = edges.flatMap(e => Seq(e, (e._2, e._1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq.sorted
+    (for {
+      a <- nodes; b <- adj.getOrElse(a, Set.empty) if a < b
+      c <- adj.getOrElse(b, Set.empty) if b < c && adj(a).contains(c)
+    } yield (a, b, c)).toSet
+  }
+
+  test("triangles == brute force on seeded random graphs (hub included)") {
+    val rnd = new scala.util.Random(20260817L)
+    (0 until 5).foreach { round =>
+      val n = 24
+      val ids = (0 until n).map(i => f"Q$i%03d")
+      val random = (for {
+        i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < 0.18
+      } yield (ids(i), ids(j))).toSet
+      // a hub wired to everything: the degree-ordered orientation's stress case
+      val hub = ids.tail.map(x => if (x < ids.head) (x, ids.head) else (ids.head, x)).toSet
+      val edges = random ++ hub
+      val df = edges.toSeq.toDF("a", "b")
+      val got = GraphOps.triangles(df)
+        .as[(String, String, String)].collect()
+      val want = bruteTriangles(edges)
+      assert(got.length == got.toSet.size, s"round $round: duplicate triangle rows")
+      assert(got.toSet == want,
+        s"round $round: got ${got.toSet.size} vs brute ${want.size}")
+    }
+  }
+
+  test("cooccurEdges: weight = shared pages, threshold applied") {
+    val uq = Seq(
+      ("u1", "A"), ("u1", "B"), ("u1", "C"),
+      ("u2", "A"), ("u2", "B"),
+      ("u3", "A"), ("u3", "B"), ("u3", "B") // dup row must not double-count
+    ).toDF("url", "qid")
+    val got = GraphOps.cooccurEdges(uq, minShared = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("A", "B", 3L)))
+  }
+}
