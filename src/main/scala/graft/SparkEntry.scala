@@ -126,6 +126,9 @@ object SparkEntry {
     "kg13_conflicts" -> (KgQueries.conflicts _),
     // degree-ordered triangle census of the entity co-occurrence graph
     "kg14_triangles" -> (KgQueries.triangles _),
+    // exact-integer PageRank (10 iterations) over the co-occurrence graph —
+    // bit-replayable because every op is BIGINT arithmetic
+    "kg15_pagerank" -> (KgQueries.pagerank _),
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
@@ -169,6 +172,38 @@ object SparkEntry {
        |      THEN (1 << p.b) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM nn n CROSS JOIN pl p
        |  GROUP BY n.vec_id, p.t)""".stripMargin
+
+  /** kg15 oracle: PageRank's ten iterations UNROLLED as chained CTEs (a
+    * recursive CTE cannot aggregate in its recursive term), replaying the
+    * engine's exact integer arithmetic — `rank // od` contributions,
+    * `(sum * 85) // 100` damping, two-step base division — from the
+    * materialized edge frame. Exact BIGINT ops are order-independent, so
+    * this hash-matches bit for bit; a float PageRank could not.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.id,
+         |    bb.base + (coalesce(c.sc, 0) * 85) // 100 AS rank
+         |  FROM nodes n CROSS JOIN bb
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(r.rank // e.od) AS BIGINT) AS sc
+         |    FROM e JOIN r${i - 1} r ON r.id = e.src
+         |    GROUP BY e.dst) c ON c.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT src, dst FROM read_parquet('$OF/kg15_edges/*.parquet')),
+       |odeg AS (SELECT src, count(*) AS od FROM e0 GROUP BY src),
+       |e AS (SELECT e0.src, e0.dst, odeg.od FROM e0 JOIN odeg USING (src)),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |bb AS (SELECT (1000000000000 * 15 // 100) // n AS base,
+       |              1000000000000 // n AS init FROM nn),
+       |r0 AS (SELECT id, bb.init AS rank FROM nodes CROSS JOIN bb),
+       |$steps
+       |SELECT id, rank FROM r$iters""".stripMargin
+  }
 
   /** Shared retrieval CTE for the em* oracles — mirrors Eval.retrieve:
     * queries = lowest vec_id per label; rank by (cos desc, neighbor_id asc).
@@ -927,6 +962,7 @@ object SparkEntry {
         |  JOIN o ON o.u = wed.x AND o.v = wed.y),
         |s AS (SELECT list_sort([u, x, y]) AS t FROM tri)
         |SELECT t[1] AS q1, t[2] AS q2, t[3] AS q3 FROM s""".stripMargin,
+    "kg15_pagerank" -> pagerankSql(iters = 10),
     // mm1: the stub decode is the non-SQL kernel; the oracle replays the
     // per-kind aggregation from the materialized decoded-metadata frames
     "mm1_media_stats" ->

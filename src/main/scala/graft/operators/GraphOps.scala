@@ -35,6 +35,73 @@ object GraphOps {
       .filter(col("w") >= minShared)
   }
 
+  /** PageRank over directed edges in EXACT integer arithmetic: ranks are
+    * parts-per-`scale` (default 10^12) BIGINTs, contributions are integer
+    * divisions (`rank div outdeg`), damping is `(sum * 85) div 100` — every
+    * operation is exact and order-independent, so the result is invariant
+    * under partitioning AND bit-replayable by any engine (the kg15 DuckDB
+    * oracle unrolls the same ten iterations; float PageRank could never
+    * hash-match across engines because shuffle order perturbs low bits).
+    *
+    * Scale shape = the ConnectedComponents discipline: the edge+outdeg
+    * frame is persisted once and re-joined per round; the rank frame is
+    * eagerly checkpointed every `checkpointInterval` rounds so the logical
+    * plan stays bounded (a few join/agg levels between cuts — fewer job
+    * boundaries than per-round cuts, same total work) and per-round cost is
+    * one shuffle join + one groupBy on node ids. Pass `checkpointDir` for
+    * reliable (executor-loss-surviving) checkpoints on a real cluster —
+    * same save/restore-the-global-dir contract as
+    * [[graft.canon.ConnectedComponents.run]]. Dangling mass (no-out-edge
+    * nodes) is dropped, not redistributed — both engines state the same
+    * rule. Fixed `iters`, no convergence race. Returns (id, rank).
+    */
+  def pageRankInt(edges0: DataFrame, iters: Int = 10,
+                  scale: Long = 1000000000000L,
+                  checkpointInterval: Int = 5,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    import scala.util.chaining._
+    val spark = edges0.sparkSession
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
+    if (checkpointDir.isDefined && prevCheckpointDir.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"session had no checkpoint dir; '${checkpointDir.get}' will remain " +
+          "the session-global checkpoint dir after this call (Spark has no unset API)")
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    try {
+      def materialize(df: DataFrame): DataFrame =
+        if (checkpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
+      val edges = edges0.select("src", "dst").distinct()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      val edgesOd = edges.join(outdeg, Seq("src")).persist()
+      val nodes = edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id")))
+        .distinct().persist()
+      val n = nodes.count()
+      require(n > 0, "pageRankInt needs at least one edge")
+      val init = scale / n
+      val base = (scale * 15L / 100L) / n
+
+      var ranks = nodes.withColumn("rank", lit(init)).pipe(materialize)
+      for (i <- 1 to iters) {
+        val contribs = edgesOd
+          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), expr("rank div od").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("sc"))
+        ranks = nodes
+          .join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr("(coalesce(sc, 0L) * 85) div 100")).as("rank"))
+        if (i % checkpointInterval == 0 || i == iters)
+          ranks = materialize(ranks) // truncate lineage: plans must not compound
+      }
+      edgesOd.unpersist(); nodes.unpersist()
+      ranks
+    } finally {
+      if (checkpointDir.isDefined) prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
+
   /** Triangle enumeration with degree-ordered orientation (compact-forward):
     * every undirected edge is oriented from its (degree, id)-smaller
     * endpoint to the larger, which turns the edge set into a DAG where each

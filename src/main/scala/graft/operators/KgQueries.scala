@@ -202,6 +202,23 @@ object KgQueries {
     GraphOps.triangles(GraphOps.cooccurEdges(urlQid, minShared = 2))
   }
 
+  /** Exact-integer PageRank over the symmetrized co-occurrence graph (the
+    * "which entities anchor this corpus" query). The edge build is the
+    * materialized seam (kg15_edges); the DuckDB oracle replays all ten
+    * iterations of the SAME integer arithmetic — see
+    * [[GraphOps.pageRankInt]] for why integer, [[SparkEntry.oracleSql]]
+    * kg15 for the unrolled SQL.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val labelsDf = labels(spark)
+    val resolved = Linker.resolvedMentions(spark, extractText(spark, dir), dictOf(labelsDf))
+    val urlQid = Linker.explodeCandidates(resolved).select("url", "qid")
+    val und = GraphOps.cooccurEdges(urlQid, minShared = 2)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    GraphOps.pageRankInt(materializeForOracle(sym, "kg15_edges"), iters = 10)
+  }
+
   /** Qualifier + reference sub-triples (P6, notebook get_triplets semantics):
     * one row per main/qualifier/reference part, golden-pinned by
     * TripletsGoldenSpec against executing the reference notebook's own code.

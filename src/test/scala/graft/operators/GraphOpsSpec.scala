@@ -54,4 +54,56 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(("A", "B", 3L)))
   }
+
+  /** Driver-side replica of the exact integer PageRank — same two-step base
+    * division, same `rank / outdeg` truncation, same `* 85 / 100` damping.
+    */
+  private def brutePageRank(edges: Set[(String, String)], iters: Int,
+                            scale: Long): Map[String, Long] = {
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val n = nodes.size.toLong
+    val init = scale / n
+    val base = (scale * 15L / 100L) / n
+    var ranks = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val recv = edges.toSeq
+        .map { case (s, d) => d -> ranks(s) / outdeg(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      ranks = nodes.map(x => x -> (base + recv.getOrElse(x, 0L) * 85L / 100L)).toMap
+    }
+    ranks
+  }
+
+  test("pageRankInt == driver-side integer replica (dangling nodes, dups)") {
+    val rnd = new scala.util.Random(20260817L)
+    val n = 30
+    val ids = (0 until n).map(i => f"Q$i%03d")
+    val edges = (for {
+      i <- 0 until n; j <- 0 until n
+      if i != j && rnd.nextDouble() < 0.12
+    } yield (ids(i), ids(j))).toSet + ((ids(1), ids(0))) // Q000: sink w/ no outs? ensure a pure-dangling dst
+    val dangling = edges + ((ids(5), "QSINK")) // QSINK receives, never emits
+    // feed duplicated edge rows: the operator must distinct them
+    val df = (dangling.toSeq ++ dangling.toSeq.take(7)).toDF("src", "dst")
+    val got = GraphOps.pageRankInt(df, iters = 4)
+      .as[(String, Long)].collect().toMap
+    val want = brutePageRank(dangling, iters = 4, scale = 1000000000000L)
+    assert(got == want)
+    // partition invariance: exact arithmetic must not care about layout
+    val got2 = GraphOps.pageRankInt(df.repartition(13), iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got2 == want)
+    // checkpoint cadence and reliable-checkpoint mode change nothing
+    val tmp = java.nio.file.Files.createTempDirectory("pr-ckpt").toString
+    try {
+      val got3 = GraphOps.pageRankInt(df, iters = 4, checkpointInterval = 1,
+        checkpointDir = Some(tmp)).as[(String, Long)].collect().toMap
+      assert(got3 == want)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
