@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Eval, KgQueries, LangId, Relational => R, Similarity, TextAnalysis => T}
+import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, RangeJoin, Relational => R, Similarity, TextAnalysis => T}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,12 @@ object SparkEntry {
     "q17_string_funcs" -> (R.q17StringFuncs _),
     "q18_setops" -> (R.q18SetOps _),
     "q19_argmax_per_brand" -> (R.q19ArgmaxPerBrand _),
+    // backward as-of join (events → latest at-or-before order), composed as
+    // tagged-union + one window pass — no range-theta explosion
+    "q20_asof_join" -> (AsOfJoin.q20AsOf _),
+    // bucketed range join (events within each order's 7-day window) — the
+    // (key, bucket) equi-rendezvous, never a nested-loop range scan
+    "q21_range_join" -> (RangeJoin.q21RangeJoin _),
     "d1_doc_stats" -> (T.d1DocStats _),
     "d2_exact_dedup_stats" -> (T.d2ExactDedupStats _),
     "d3_dup_groups" -> (T.d3DupGroups _),
@@ -129,6 +135,11 @@ object SparkEntry {
     // exact-integer PageRank (10 iterations) over the co-occurrence graph —
     // bit-replayable because every op is BIGINT arithmetic
     "kg15_pagerank" -> (KgQueries.pagerank _),
+    // bounded-hop BFS from the top-degree hub entities (Pregel frontier
+    // shape; oracle unrolls the hops)
+    "kg16_bfs" -> (KgQueries.bfs _),
+    // top-50 entity pairs by lift — IEEE-double-exact association mining
+    "kg17_cooccur_lift" -> (KgQueries.lift _),
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
@@ -203,6 +214,34 @@ object SparkEntry {
        |r0 AS (SELECT id, bb.init AS rank FROM nodes CROSS JOIN bb),
        |$steps
        |SELECT id, rank FROM r$iters""".stripMargin
+  }
+
+  /** kg16 oracle: multi-source BFS with each hop UNROLLED as a frontier
+    * CTE (new nodes = hop-h neighbors NOT EXISTS in the visited set) and a
+    * visited CTE (union of frontiers) — the exact level-order semantics of
+    * [[graft.operators.GraphOps.bfsDistances]]; first visit = min distance,
+    * so no min-combine appears on either side. Seeds (top-3 degree, ties by
+    * id) are recomputed from the edge frame, not trusted from the engine.
+    */
+  private def bfsSql(hops: Int): String = {
+    val steps = (1 to hops).map { h =>
+      s"""f$h AS (
+         |  SELECT seed, id, $h AS dist FROM (
+         |    SELECT DISTINCT f.seed, e.dst AS id
+         |    FROM f${h - 1} f JOIN e ON e.src = f.id) n
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM d${h - 1} k WHERE k.seed = n.seed AND k.id = n.id)),
+         |d$h AS (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT src, dst FROM read_parquet('$OF/kg16_edges/*.parquet')),
+       |seeds AS (SELECT src AS id FROM (
+       |  SELECT src, count(*) AS d FROM e GROUP BY src
+       |  ORDER BY d DESC, src ASC LIMIT 3)),
+       |d0 AS (SELECT id AS seed, id, 0 AS dist FROM seeds),
+       |f0 AS (SELECT * FROM d0),
+       |$steps
+       |SELECT seed, id, dist FROM d$hops""".stripMargin
   }
 
   /** Shared retrieval CTE for the em* oracles — mirrors Eval.retrieve:
@@ -351,6 +390,27 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY p_brand
         |    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn FROM part)
         |WHERE rn = 1""".stripMargin,
+    // q20: DuckDB's NATIVE asof join is the oracle — an independent
+    // implementation of the same latest-at-or-before contract, not a replay
+    // of the engine's union+window plan
+    "q20_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.ts, e.user_id, e.event_type,
+        |       r.o_orderkey, r.o_orderdate, r.o_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+    // q21: the oracle is the plain BETWEEN theta join — independent
+    // semantics, not a replay of the engine's bucket rendezvous
+    "q21_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_prior_events
+        |FROM events p JOIN events e
+        |  ON p.event_type = 'purchase' AND e.event_type <> 'purchase'
+        | AND e.user_id = p.user_id
+        | AND e.ts >= p.ts - INTERVAL 24 HOUR AND e.ts < p.ts
+        |GROUP BY 1""".stripMargin,
     "d1_doc_stats" ->
       """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(length(text)) AS min_len, max(length(text)) AS max_len
@@ -963,6 +1023,25 @@ object SparkEntry {
         |s AS (SELECT list_sort([u, x, y]) AS t FROM tri)
         |SELECT t[1] AS q1, t[2] AS q2, t[3] AS q3 FROM s""".stripMargin,
     "kg15_pagerank" -> pagerankSql(iters = 10),
+    "kg16_bfs" -> bfsSql(hops = 3),
+    // kg17: counts, pair weights, and the exact two-op double arithmetic
+    // (w::DOUBLE * n, then / (ca*cb)) recomputed from the materialized
+    // bipartite frame; ranked cut tie-broken on (a, b)
+    "kg17_cooccur_lift" ->
+      s"""WITH uq AS (
+         |  SELECT DISTINCT url, qid FROM read_parquet('$OF/kg17_urlqid/*.parquet')),
+         |nn AS (SELECT count(DISTINCT url) AS n FROM uq),
+         |dc AS (SELECT qid, count(*) AS c FROM uq GROUP BY qid),
+         |pr AS (
+         |  SELECT a.qid AS a, b.qid AS b, count(*) AS w
+         |  FROM uq a JOIN uq b ON a.url = b.url AND a.qid < b.qid
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |l AS (
+         |  SELECT pr.a, pr.b, pr.w,
+         |         CAST(pr.w AS DOUBLE) * nn.n / (ca.c * cb.c) AS lift
+         |  FROM pr CROSS JOIN nn
+         |  JOIN dc ca ON ca.qid = pr.a JOIN dc cb ON cb.qid = pr.b)
+         |SELECT a, b, w, lift FROM l ORDER BY lift DESC, a, b LIMIT 50""".stripMargin,
     // mm1: the stub decode is the non-SQL kernel; the oracle replays the
     // per-kind aggregation from the materialized decoded-metadata frames
     "mm1_media_stats" ->

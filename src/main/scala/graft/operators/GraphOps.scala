@@ -102,6 +102,72 @@ object GraphOps {
     }
   }
 
+  /** Association (lift) scores for co-occurring entity pairs:
+    * `lift = P(a,b) / (P(a)·P(b))` computed as `w·n / (cₐ·c_b)` over the
+    * bipartite (url, qid) frame — w = pages sharing the pair (≥ minShared),
+    * cₓ = pages containing x, n = total pages. The arithmetic is ONE double
+    * multiply and ONE divide over exact integer counts — IEEE-deterministic,
+    * no libm — so any engine replaying the same two ops (the kg17 DuckDB
+    * oracle does) matches bit for bit, unrounded; a log-PMI variant could
+    * not cross engines safely.
+    *
+    * Scale shape: pair weights come from [[cooccurEdges]] (one shuffle,
+    * never a url self-join); the per-entity count dim joins once per pair
+    * end. Only ids and three scalars shuffle. Returns (a, b, w, lift).
+    */
+  def liftScores(urlQid: DataFrame, minShared: Int): DataFrame = {
+    val uq = urlQid.select("url", "qid").distinct().persist()
+    val n = uq.select("url").distinct().count()
+    val docCounts = uq.groupBy("qid").agg(count(lit(1)).as("c"))
+    val out = cooccurEdges(uq, minShared)
+      .join(docCounts.select(col("qid").as("a"), col("c").as("ca")), Seq("a"))
+      .join(docCounts.select(col("qid").as("b"), col("c").as("cb")), Seq("b"))
+      .select(col("a"), col("b"), col("w"),
+        (col("w").cast("double") * n / (col("ca") * col("cb"))).as("lift"))
+      .localCheckpoint(eager = true)
+    uq.unpersist()
+    out
+  }
+
+  /** Multi-source bounded-hop BFS: min hop distance from each seed to every
+    * node within `maxHops`, the Pregel frontier shape as plain DataFrames.
+    * Per hop: frontier ⋈ edges fan-out, distinct on (seed, id), anti-join
+    * against the visited set — BFS level order guarantees first visit =
+    * min distance, so no min-combine is ever needed. The frontier (small,
+    * shrinking) is the only iterated frame; the visited set grows by
+    * concatenation of checkpointed frontiers, never recomputed. Everything
+    * is ids + an int hop — exact, order-independent, bit-replayable (the
+    * kg16 oracle unrolls the same hops as chained CTEs). Fixed `maxHops`,
+    * stops early when a frontier empties (cannot change the result).
+    * `seeds` = one `id` column; returns (seed, id, dist), dist 0..maxHops.
+    */
+  def bfsDistances(edges0: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val edges = edges0.select("src", "dst").distinct().persist()
+    edges.count()
+    var known = seeds.select(col("id").as("seed"))
+      .withColumn("id", col("seed")).withColumn("dist", lit(0))
+      .localCheckpoint(eager = true)
+    var frontier = known
+    var hop = 1
+    var live = true
+    while (live && hop <= maxHops) {
+      val next = frontier
+        .join(edges, frontier("id") === edges("src"))
+        .select(col("seed"), col("dst").as("id"), lit(hop).as("dist"))
+        .distinct()
+        .join(known, Seq("seed", "id"), "left_anti")
+        .localCheckpoint(eager = true) // truncate lineage per hop
+      live = !next.isEmpty
+      if (live) {
+        known = known.unionByName(next) // unions of checkpoints: no recompute
+        frontier = next
+      }
+      hop += 1
+    }
+    edges.unpersist()
+    known
+  }
+
   /** Triangle enumeration with degree-ordered orientation (compact-forward):
     * every undirected edge is oriented from its (degree, id)-smaller
     * endpoint to the larger, which turns the edge set into a DAG where each

@@ -219,6 +219,41 @@ object KgQueries {
     GraphOps.pageRankInt(materializeForOracle(sym, "kg15_edges"), iters = 10)
   }
 
+  /** Top-50 most-associated entity pairs by lift (the "which entities
+    * belong together" mining query). The distinct (url, qid) frame is the
+    * materialized seam (kg17_urlqid); the oracle recomputes counts, pairs,
+    * the two IEEE-double ops and the ranked cut — see
+    * [[GraphOps.liftScores]] for why lift and not log-PMI.
+    */
+  def lift(spark: SparkSession, dir: String): DataFrame = {
+    val labelsDf = labels(spark)
+    val resolved = Linker.resolvedMentions(spark, extractText(spark, dir), dictOf(labelsDf))
+    val urlQid = Linker.explodeCandidates(resolved).select("url", "qid").distinct()
+    GraphOps.liftScores(materializeForOracle(urlQid, "kg17_urlqid"), minShared = 2)
+      .orderBy(col("lift").desc, col("a"), col("b")).limit(50)
+  }
+
+  /** Bounded-hop BFS from the 3 highest-degree hub entities of the
+    * co-occurrence graph (ties by id) — the "how far is everything from
+    * the corpus anchors" QA query. The edge build is the materialized seam
+    * (kg16_edges); seeds and all 3 hops are replayed by the DuckDB oracle
+    * as chained CTEs — see [[GraphOps.bfsDistances]].
+    */
+  def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val labelsDf = labels(spark)
+    val resolved = Linker.resolvedMentions(spark, extractText(spark, dir), dictOf(labelsDf))
+    val urlQid = Linker.explodeCandidates(resolved).select("url", "qid")
+    val und = GraphOps.cooccurEdges(urlQid, minShared = 2)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val edges = materializeForOracle(sym, "kg16_edges")
+    // degree in the symmetric frame = out-degree; top-3, ties by id
+    val seeds = edges.select("src", "dst").distinct()
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("id").asc).limit(3).select("id")
+    GraphOps.bfsDistances(edges, seeds, maxHops = 3)
+  }
+
   /** Qualifier + reference sub-triples (P6, notebook get_triplets semantics):
     * one row per main/qualifier/reference part, golden-pinned by
     * TripletsGoldenSpec against executing the reference notebook's own code.

@@ -48,6 +48,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q20: as-of join is union + ONE keyed window — no range-theta join") {
+    val p = planOf("q20_asof_join")
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // exactly one key shuffle for the window pass itself; the orders
+    // pre-reduce adds its own agg exchange, nothing else may
+    val exchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges (window + pre-reduce), got $exchanges\n${p.take(1500)}")
+  }
+
+  test("q21: range join is an equi-join on (key, bucket) — no nested-loop range scan") {
+    val p = planOf("q21_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("Join") && p.contains("_b"), p.take(1200)) // bucket key in the join
+  }
+
   test("s3: exact near-dup broadcasts one side (single corpus scan, no shuffle pair-join)") {
     val p = planOf("s3_embedding_neardup")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** The union+window as-of join must agree with a driver-side brute force
+  * (latest right row at-or-before each left row, per key) on seeded random
+  * data — including keys with no right history, right-only keys, and exact
+  * timestamp ties (inclusive semantics) — and be partition-invariant.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("asOfBackward == brute force (ties inclusive, missing history, invariant)") {
+    val rnd = new scala.util.Random(20260817L)
+    val events = (1 to 400).map { i =>
+      (i.toLong, ts(rnd.nextInt(1000000).toLong * 1000L), (rnd.nextInt(12) + 1).toLong)
+    }
+    // keys 1..12 on the left; right history only for 1..9, plus right-only key 99
+    val orders = ((1 to 120).map { i =>
+      ((rnd.nextInt(9) + 1).toLong, ts(rnd.nextInt(1000000).toLong * 1000L), i.toLong * 10)
+    } :+ ((99L, ts(5000L), 999L))).distinct
+    // force exact-tie cases: an order at precisely some events' timestamps
+    val tied = events.take(5).map { case (_, t, k) => (k, t, 7777L) }
+    val right0 = (orders ++ tied).groupBy(x => (x._1, x._2))
+      .map { case ((k, t), rows) => (k, t, rows.map(_._3).max) }.toSeq // unique per (key, time)
+
+    val l = events.toDF("eid", "ets", "k")
+    val r = right0.toDF("rk", "rts", "oid")
+    val got = AsOfJoin.asOfBackward(l, r, col("k"), col("rk"), col("ets"), col("rts"))
+      .select("eid", "oid").as[(Long, Option[Long])].collect().toMap
+
+    val want = events.map { case (eid, et, k) =>
+      val cand = right0.filter(o => o._1 == k && !o._2.after(et))
+      eid -> (if (cand.isEmpty) None
+              else Some(cand.maxBy(_._2.getTime)._3))
+    }.toMap
+    assert(got == want)
+    assert(got.size == events.size, "left-join must keep every event")
+
+    val got2 = AsOfJoin.asOfBackward(l.repartition(17), r.repartition(5),
+      col("k"), col("rk"), col("ets"), col("rts"))
+      .select("eid", "oid").as[(Long, Option[Long])].collect().toMap
+    assert(got2 == want)
+  }
+
+  test("column-name collision is a hard error") {
+    val l = Seq((1L, ts(1L), "x")).toDF("k", "t", "shared")
+    val r = Seq((1L, ts(1L), "y")).toDF("rk", "rt", "shared")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBackward(l, r, col("k"), col("rk"), col("t"), col("rt"))
+    }
+    assert(e.getMessage.contains("shared"))
+  }
+}

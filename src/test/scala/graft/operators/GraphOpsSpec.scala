@@ -106,4 +106,65 @@ class GraphOpsSpec extends AnyFunSuite {
         .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("liftScores == brute-force P(a,b)/(P(a)P(b)) with identical op order") {
+    val rnd = new scala.util.Random(99L)
+    val uq = (for {
+      u <- 1 to 60; q <- 1 to 10 if rnd.nextDouble() < 0.3
+    } yield (s"u$u", s"Q$q")) ++ Seq(("u1", "Q1"), ("u1", "Q1")) // dup rows
+    val got = GraphOps.liftScores(uq.toDF("url", "qid"), minShared = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val clean = uq.distinct
+    val n = clean.map(_._1).distinct.size.toLong
+    val byQ = clean.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = clean.groupBy(_._1).values
+      .flatMap(rows => { val qs = rows.map(_._2).distinct.sorted
+        for (i <- qs.indices; j <- i + 1 until qs.size) yield (qs(i), qs(j)) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+      .map { case ((a, b), w) =>
+        (a, b) -> ((w, w.toDouble * n / (byQ(a) * byQ(b)))) }
+    assert(got == want)
+  }
+
+  /** Driver-side level-order BFS: min hop distance per (seed, node). */
+  private def bruteBfs(edges: Set[(String, String)], seeds: Seq[String],
+                       maxHops: Int): Map[(String, String), Int] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    seeds.flatMap { s =>
+      var dist = Map(s -> 0)
+      var frontier = Set(s)
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> h)
+      }
+      dist.map { case (v, d) => (s, v) -> d }
+    }.toMap
+  }
+
+  test("bfsDistances == driver-side BFS (directed, unreachable, early-empty)") {
+    val rnd = new scala.util.Random(42L)
+    val n = 40
+    val ids = (0 until n).map(i => f"Q$i%03d")
+    val edges = (for {
+      i <- 0 until n; j <- 0 until n if i != j && rnd.nextDouble() < 0.06
+    } yield (ids(i), ids(j))).toSet +
+      (("ISOLATED_SRC", "ISOLATED_DST")) // its own 2-node island
+    val df = edges.toSeq.toDF("src", "dst")
+    val seeds = Seq(ids(0), ids(7), "ISOLATED_SRC")
+    val got = GraphOps.bfsDistances(df, seeds.toDF("id"), maxHops = 3)
+      .as[(String, String, Int)].collect()
+    assert(got.length == got.map(r => (r._1, r._2)).distinct.length,
+      "duplicate (seed, id) rows")
+    val want = bruteBfs(edges, seeds, maxHops = 3)
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+    // a frontier that empties before maxHops (the island seed) must stop
+    // cleanly and still report identical rows at a larger hop budget
+    val island = GraphOps.bfsDistances(df, Seq("ISOLATED_SRC").toDF("id"), maxHops = 5)
+      .as[(String, String, Int)].collect().toSet
+    assert(island == Set(("ISOLATED_SRC", "ISOLATED_SRC", 0),
+      ("ISOLATED_SRC", "ISOLATED_DST", 1)))
+  }
 }
