@@ -45,9 +45,15 @@ object AsOfJoin {
     val l = left.select(
       leftKey.as("_k"), leftTime.cast("timestamp").as("_t"), lit(1).as("_tag"),
       struct(leftCols.map(col): _*).as("_l"), lit(null).cast(rType).as("_r"))
-    val r = right.select(
-      rightKey.as("_k"), rightTime.cast("timestamp").as("_t"), lit(0).as("_tag"),
-      lit(null).cast(lType).as("_l"), struct(rightCols.map(col): _*).as("_r"))
+    // SQL join semantics: a null key or time matches NOTHING. The window's
+    // partitionBy would otherwise group null keys TOGETHER (left null-key
+    // rows would see null-key right payloads), so drop them from the right
+    // side; null-key left rows stay (left-join) and match nothing.
+    val r = right
+      .filter(rightKey.isNotNull && rightTime.isNotNull)
+      .select(
+        rightKey.as("_k"), rightTime.cast("timestamp").as("_t"), lit(0).as("_tag"),
+        lit(null).cast(lType).as("_l"), struct(rightCols.map(col): _*).as("_r"))
     val u = l.unionByName(r)
 
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))

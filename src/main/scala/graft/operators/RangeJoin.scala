@@ -33,7 +33,8 @@ object RangeJoin {
   def bucketedIntervalJoin(points: DataFrame, intervals: DataFrame,
                            pointTime: Column, start: Column, end: Column,
                            pointKey: Column = null, intervalKey: Column = null,
-                           bucketUs: Long = 7L * 86400L * 1000000L): DataFrame = {
+                           bucketUs: Long = 7L * 86400L * 1000000L,
+                           maxBucketsPerInterval: Long = 10000L): DataFrame = {
     require((pointKey == null) == (intervalKey == null),
       "pass both join keys or neither")
     val shared = points.columns.toSet.intersect(intervals.columns.toSet)
@@ -52,6 +53,15 @@ object RangeJoin {
       .withColumn("_bs", bucketOf(micros(start)))
       .withColumn("_be", bucketOf(micros(end) - 1))
       .filter(col("_bs") <= col("_be")) // empty/degenerate intervals match nothing
+      // fail loudly, not OOM: one malformed open-ended interval (year-9999
+      // end) would otherwise explode to millions of bucket rows. The guard
+      // lives INSIDE the sequence bound so column pruning can't drop it.
+      .withColumn("_be", when(col("_be") - col("_bs") >= maxBucketsPerInterval,
+        raise_error(concat(lit(s"interval spans >= $maxBucketsPerInterval buckets " +
+          s"of $bucketUs us; widen bucketUs or raise maxBucketsPerInterval " +
+          "(interval start us: "), unix_micros(start.cast("timestamp")), lit(")")))
+          .cast("long"))
+        .otherwise(col("_be")))
       .withColumn("_b", explode(sequence(col("_bs"), col("_be"))))
       .drop("_bs", "_be")
 

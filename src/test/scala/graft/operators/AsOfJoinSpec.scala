@@ -50,6 +50,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got2 == want)
   }
 
+  test("null keys/times follow SQL semantics: match nothing, left rows kept") {
+    val l = Seq((1L, Some(ts(100000L)), Some(5L)), (2L, Some(ts(100000L)), None),
+      (3L, None, Some(5L)))
+      .toDF("eid", "et", "ek")
+    val r = Seq((Some(5L), Some(ts(50000L)), 10L), (None, Some(ts(1L)), 20L),
+      (Some(5L), None, 30L))
+      .toDF("rk", "rt", "oid")
+    val got = AsOfJoin.asOfBackward(l, r, col("ek"), col("rk"), col("et"), col("rt"))
+      .select("eid", "oid").as[(Long, Option[Long])].collect().toMap
+    // eid 1: normal match; eid 2 (null key) and eid 3 (null time): no match,
+    // and NEVER the null-key/null-time right rows (oid 20/30)
+    assert(got == Map(1L -> Some(10L), 2L -> None, 3L -> None))
+  }
+
   test("column-name collision is a hard error") {
     val l = Seq((1L, ts(1L), "x")).toDF("k", "t", "shared")
     val r = Seq((1L, ts(1L), "y")).toDF("rk", "rt", "shared")

@@ -37,7 +37,8 @@ class RangeJoinSpec extends AnyFunSuite {
     for (widthUs <- Seq(1000000L, 7777000L, 86400000000L)) {
       val got = RangeJoin.bucketedIntervalJoin(pDf, iDf,
         pointTime = col("t"), start = col("s"), end = col("e"),
-        pointKey = col("pk"), intervalKey = col("ik"), bucketUs = widthUs)
+        pointKey = col("pk"), intervalKey = col("ik"), bucketUs = widthUs,
+        maxBucketsPerInterval = 100000L) // the 1s-width leg legitimately spans 40k
         .select("pid", "iid").as[(Long, Long)].collect()
       assert(got.length == got.distinct.length, s"width $widthUs: duplicated pairs")
       assert(got.toSet == want, s"width $widthUs: ${got.length} vs ${want.size}")
@@ -52,6 +53,20 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid", "iid").as[(Long, Long)].collect()
     assert(gotAll.length == gotAll.distinct.length)
     assert(gotAll.toSet == wantAll)
+  }
+
+  test("an interval spanning too many buckets fails loudly, not OOM") {
+    val pDf = Seq((1L, ts(10))).toDF("pid", "t")
+    val iDf = Seq((100L, ts(0), ts(10000000L))).toDF("iid", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.bucketedIntervalJoin(pDf, iDf,
+        pointTime = col("t"), start = col("s"), end = col("e"),
+        bucketUs = 1000000L, maxBucketsPerInterval = 100L)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("buckets")), e.toString)
   }
 
   test("boundary semantics: start inclusive, end exclusive, at bucket edges") {
