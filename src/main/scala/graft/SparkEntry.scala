@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, RangeJoin, Relational => R, Similarity, TextAnalysis => T}
+import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,6 +51,12 @@ object SparkEntry {
     "d6_stratified_sample" -> (T.d6StratifiedSample _),
     // PII scrub (C4/CCNet-style cleanup): redact + count, pure codegen
     "d7_pii_scrub" -> (T.d7PiiScrub _),
+    // KMV distinct sketch: mergeable bounded-memory custom Aggregator —
+    // only k longs per group cross the shuffle; estimate IEEE-replayable
+    "d8_kmv_distinct" -> ((s, d) => Sketches.d8KmvDistinct(s, d)),
+    // Count-Min heavy-hitter estimates: sum-based counters — mergeable,
+    // order-independent, at most d*w rows leave any partition
+    "d9_cms_heavy" -> ((s, d) => Sketches.d9CmsHeavy(s, d)),
     // dedup family
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
@@ -450,6 +456,46 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}', '<PHONE>', 'g') AS text_scrubbed
         |FROM documents""".stripMargin,
+    // d8: DuckDB recomputes the 60-bit md5-prefix hashes, the k smallest
+    // per group (relationally — the ORDER-INDEPENDENT definition the
+    // Aggregator implements incrementally), and the same two-division
+    // estimate; n_distinct doubles as the accuracy reference
+    "d8_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT lang, h,
+        |  row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        |a AS (SELECT lang, count(*) AS n_distinct,
+        |  max(CASE WHEN rn = 64 THEN h END) AS hk FROM r GROUP BY lang)
+        |SELECT lang, n_distinct,
+        |  CASE WHEN hk IS NULL THEN CAST(n_distinct AS DOUBLE)
+        |       ELSE 63.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+        |  END AS est_kmv
+        |FROM a""".stripMargin,
+    // d9: DuckDB rebuilds the counter matrix (same md5 buckets, sums) and
+    // takes the same min-over-rows estimates for the same top-20 probes
+    "d9_cms_heavy" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (SELECT t FROM toks WHERE length(t) > 0),
+        |exact AS (SELECT t, count(*) AS n_exact FROM tok GROUP BY t),
+        |probes AS (SELECT t, n_exact FROM exact ORDER BY n_exact DESC, t LIMIT 20),
+        |rws AS (SELECT unnest(range(0, 4)) AS r),
+        |cnt AS (
+        |  SELECT r.r AS r,
+        |    CAST('0x' || substring(md5(CAST(r.r AS VARCHAR) || '_' || tok.t), 1, 8)
+        |      AS BIGINT) % 1024 AS b,
+        |    count(*) AS cnt
+        |  FROM tok CROSS JOIN rws r GROUP BY 1, 2)
+        |SELECT p.t, p.n_exact, min(coalesce(c.cnt, 0)) AS est_cms
+        |FROM probes p CROSS JOIN rws r
+        |LEFT JOIN cnt c ON c.r = r.r
+        |  AND c.b = CAST('0x' || substring(md5(CAST(r.r AS VARCHAR) || '_' || p.t), 1, 8)
+        |    AS BIGINT) % 1024
+        |GROUP BY 1, 2""".stripMargin,
     "dd1_minhash_lsh" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words

@@ -64,6 +64,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Join") && p.contains("_b"), p.take(1200)) // bucket key in the join
   }
 
+  test("d8: KMV sketch aggregates partially before the shuffle (object hash agg)") {
+    val p = planOf("d8_kmv_distinct")
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(p.contains("partial_kmvagg"), p.take(1500)) // map-side combine of sketches
+  }
+
   test("s3: exact near-dup broadcasts one side (single corpus scan, no shuffle pair-join)") {
     val p = planOf("s3_embedding_neardup")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))

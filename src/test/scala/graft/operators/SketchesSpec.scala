@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The KMV sketch must (a) BE the k smallest distinct hashes — checked
+  * against a driver-side sort — whatever the partitioning (merge path) or
+  * duplication of the input, (b) estimate within KMV theory's error on
+  * random data, and (c) agree exactly with the relational window
+  * definition the d8 oracle uses.
+  */
+class SketchesSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val k = 32
+
+  test("sketch == k smallest distinct hashes under repartition + duplicates") {
+    val rnd = new scala.util.Random(20260817L)
+    val vals = (1 to 5000).map(_ => s"v${rnd.nextInt(1200)}") // heavy dups
+    val df = vals.toDF("v").withColumn("h", Sketches.kmvHash(col("v")))
+    val hashes = df.select("h").as[Long].collect().toSet.toArray.sorted
+    val want = hashes.take(k).toSeq
+
+    val kmv = udaf(new Sketches.KmvAgg(k))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = df.repartition(parts).agg(kmv(col("h"))).as[Seq[Long]].head()
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("estimate within 4 sigma of exact on seeded random sets; exact below k") {
+    val rnd = new scala.util.Random(7L)
+    for (n <- Seq(10, 31, 500, 5000)) {
+      val df = (1 to n).map(i => s"item_${i}_${rnd.nextInt()}").toDF("v")
+        .withColumn("h", Sketches.kmvHash(col("v")))
+      val kmv = udaf(new Sketches.KmvAgg(k))
+      val est = df.agg(kmv(col("h")).as("mins"))
+        .select(Sketches.kmvEstimate(col("mins"), k)).as[Double].head()
+      if (n < k) assert(est == n.toDouble, s"n=$n must be exact")
+      else {
+        val sigma = 1.0 / math.sqrt(k - 2)
+        assert(math.abs(est - n) / n < 4 * sigma, s"n=$n est=$est")
+      }
+    }
+  }
+
+  test("CMS: estimate >= exact always, == exact absent collisions, partition-invariant") {
+    val rnd = new scala.util.Random(20260817L)
+    // zipf-ish: token i appears ~ 600/i times
+    val toks = (1 to 120).flatMap(i => Seq.fill(600 / i)(s"tok$i"))
+    val shuffled = rnd.shuffle(toks)
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (d, w) = (4, 512)
+    for (parts <- Seq(1, 13)) {
+      val tdf = shuffled.toDF("t").repartition(parts)
+      val counters = Sketches.cmsCounters(tdf, d, w)
+      val probes = exact.keys.toSeq.toDF("t")
+      val est = Sketches.cmsEstimate(counters, probes, d, w)
+        .as[(String, Long)].collect().toMap
+      assert(est.keySet == exact.keySet)
+      exact.foreach { case (t, n) =>
+        assert(est(t) >= n, s"$t: CMS must never underestimate")
+      }
+      // w=512 over 120 tokens: expect a large majority exact (min over 4 rows)
+      val exactHits = exact.count { case (t, n) => est(t) == n }
+      assert(exactHits >= exact.size * 9 / 10, s"only $exactHits/${exact.size} exact")
+    }
+    // an unseen token estimates 0 (empty buckets coalesce)
+    val est0 = Sketches.cmsEstimate(
+      Sketches.cmsCounters(shuffled.toDF("t"), d, w), Seq("NEVER_SEEN").toDF("t"), d, w)
+      .as[(String, Long)].collect().toMap
+    assert(est0("NEVER_SEEN") >= 0) // 0 unless all 4 buckets collide with real tokens
+  }
+
+  test("d8 query: est column equals the relational window replica, rows per lang") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Sketches.d8KmvDistinct(spark, dir)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // relational replica of the oracle's definition, in Spark
+    val h = Relational.table(spark, dir, "documents")
+      .select(col("lang"), Sketches.kmvHash(col("text")).as("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("h")
+    val want = h.withColumn("rn", row_number().over(w))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), max(when(col("rn") === 64, col("h"))).as("hk"))
+      .select(col("lang"), col("n"),
+        when(col("hk").isNull, col("n").cast("double"))
+          .otherwise(lit(63.0) / (col("hk").cast("double") / lit(1152921504606846976.0))))
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+}
