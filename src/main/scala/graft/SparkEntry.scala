@@ -57,6 +57,9 @@ object SparkEntry {
     // Count-Min heavy-hitter estimates: sum-based counters — mergeable,
     // order-independent, at most d*w rows leave any partition
     "d9_cms_heavy" -> ((s, d) => Sketches.d9CmsHeavy(s, d)),
+    // deterministic bottom-k-by-hash uniform sample → quantile estimates
+    // next to exact order statistics (no global per-group sort at scale)
+    "d10_quantile_sample" -> ((s, d) => Sketches.d10QuantileSample(s, d)),
     // dedup family
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
@@ -496,6 +499,30 @@ object SparkEntry {
         |  AND c.b = CAST('0x' || substring(md5(CAST(r.r AS VARCHAR) || '_' || p.t), 1, 8)
         |    AS BIGINT) % 1024
         |GROUP BY 1, 2""".stripMargin,
+    // d10: the oracle redraws the SAME deterministic sample relationally
+    // (row_number over (h, doc_id) <= k) and replays the pure-integer
+    // order-statistic indices on both the sample and the full data
+    "d10_quantile_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |s AS (SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h),
+        |sa AS (SELECT lang, count(*) AS m, list_sort(list(n_chars)) AS sv
+        |       FROM s WHERE rn <= 64 GROUP BY lang),
+        |est AS (SELECT lang, m,
+        |  sv[CAST((m - 1) // 2 AS INT) + 1] AS est_p50,
+        |  sv[CAST(((m - 1) * 9) // 10 AS INT) + 1] AS est_p90 FROM sa),
+        |e AS (SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM h),
+        |ex AS (SELECT lang, max(n) AS n_docs,
+        |  max(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_chars END) AS exact_p50,
+        |  max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN n_chars END) AS exact_p90
+        |  FROM e GROUP BY lang)
+        |SELECT ex.lang, n_docs, m, est_p50, est_p90, exact_p50, exact_p90
+        |FROM ex JOIN est USING (lang)""".stripMargin,
     "dd1_minhash_lsh" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words

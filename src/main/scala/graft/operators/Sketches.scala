@@ -79,6 +79,99 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) /
         (element_at(mins, k).cast("double") / lit(TwoPow60)))
 
+  /** Bottom-k-by-hash uniform sample, payload-carrying — the sampling
+    * sibling of [[KmvAgg]]: buffer = the k rows with smallest (hash, id)
+    * keys, so the sample is a deterministic uniform-without-replacement
+    * draw that is order/partition-independent and mergeable ("k smallest
+    * of the union" again), with map-side partials and k triples per group
+    * on the wire. The d10 oracle recomputes the same sample relationally
+    * (`row_number() OVER (ORDER BY h, id) <= k`). Rows are (hash, id,
+    * value); the id tiebreak makes a 60-bit hash collision harmless.
+    */
+  final class BottomKSampleAgg(k: Int)
+      extends Aggregator[(Long, Long, Long), Array[(Long, Long, Long)], Array[(Long, Long, Long)]] {
+    private val ord = Ordering.by[(Long, Long, Long), (Long, Long)](r => (r._1, r._2))
+    override def zero: Array[(Long, Long, Long)] = Array.empty
+
+    override def reduce(buf: Array[(Long, Long, Long)], r: (Long, Long, Long)) = {
+      val pos = {
+        // binary search on (hash, id)
+        var lo = 0; var hi = buf.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ord.lt(buf(mid), r)) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      if (pos < buf.length && buf(pos)._1 == r._1 && buf(pos)._2 == r._2) buf
+      else if (pos >= k) buf
+      else {
+        val n = math.min(buf.length + 1, k)
+        val out = new Array[(Long, Long, Long)](n)
+        System.arraycopy(buf, 0, out, 0, pos)
+        out(pos) = r
+        System.arraycopy(buf, pos, out, pos + 1, n - pos - 1)
+        out
+      }
+    }
+
+    override def merge(a: Array[(Long, Long, Long)], b: Array[(Long, Long, Long)]) = {
+      val out = new Array[(Long, Long, Long)](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { j += 1; b(j - 1) }
+          else if (j >= b.length) { i += 1; a(i - 1) }
+          else if (ord.lt(a(i), b(j))) { i += 1; a(i - 1) }
+          else if (ord.lt(b(j), a(i))) { j += 1; b(j - 1) }
+          else { i += 1; j += 1; a(i - 1) }
+        out(n) = take; n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(r: Array[(Long, Long, Long)]) = r
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long, Long)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long, Long)]]()
+  }
+
+  /** d10: per-language p50/p90 of document length, estimated from the
+    * deterministic bottom-64 sample next to the exact order statistics
+    * (index = `(n-1)·q div 1` in pure integer arithmetic — no percentile
+    * interpolation ambiguity to replay). The exact columns are the gate's
+    * comparison; the sample path is the 100 TB pattern — no global
+    * per-group sort, k triples per group cross the shuffle.
+    */
+  def d10QuantileSample(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sampler = udaf(new BottomKSampleAgg(k))
+    val docs = Relational.table(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        kmvHash(col("doc_id").cast("string")).as("h"))
+
+    val sampled = docs.groupBy("lang")
+      .agg(sampler(col("h"), col("doc_id"), col("n_chars")).as("sample"))
+      .select(col("lang"), size(col("sample")).as("m"),
+        sort_array(expr("transform(sample, x -> x._3)")).as("sv"))
+      .select(col("lang"), col("m"),
+        element_at(col("sv"), expr("cast((m - 1) div 2 as int) + 1")).as("est_p50"),
+        element_at(col("sv"), expr("cast(((m - 1) * 9) div 10 as int) + 1")).as("est_p90"))
+
+    val wOrd = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    val wAll = Window.partitionBy("lang")
+    val exact = docs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("lang").agg(
+        max(col("n")).as("n_docs"),
+        max(when(expr("rn = (n - 1) div 2 + 1"), col("n_chars"))).as("exact_p50"),
+        max(when(expr("rn = ((n - 1) * 9) div 10 + 1"), col("n_chars"))).as("exact_p90"))
+    exact.join(sampled, Seq("lang"))
+      .select("lang", "n_docs", "m", "est_p50", "est_p90", "exact_p50", "exact_p90")
+  }
+
   /** Count-Min bucket for hash row `r`: first 32 md5 bits of "r_token" mod
     * width — the dd-family signature recipe, replayed by the d9 oracle as
     * `CAST('0x'||substring(md5(r||'_'||t),1,8) AS BIGINT) % w`.

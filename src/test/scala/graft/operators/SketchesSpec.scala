@@ -75,6 +75,49 @@ class SketchesSpec extends AnyFunSuite {
     assert(est0("NEVER_SEEN") >= 0) // 0 unless all 4 buckets collide with real tokens
   }
 
+  test("bottom-k sample == driver-side k smallest (h, id); quantile idx exact") {
+    val rnd = new scala.util.Random(20260817L)
+    val rows = (1 to 800).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+    val df = rows.toDF("doc_id", "n_chars")
+      .withColumn("h", Sketches.kmvHash(col("doc_id").cast("string")))
+    val hs = df.select("h", "doc_id", "n_chars").as[(Long, Long, Long)].collect()
+    val want = hs.sortBy(r => (r._1, r._2)).take(32).toSeq
+    val sampler = udaf(new Sketches.BottomKSampleAgg(32))
+    for (parts <- Seq(1, 11)) {
+      val got = df.repartition(parts)
+        .agg(sampler(col("h"), col("doc_id"), col("n_chars")))
+        .as[Seq[(Long, Long, Long)]].head()
+      assert(got == want, s"parts=$parts")
+    }
+    // feeding duplicates must not change the sample
+    val got2 = df.unionByName(df.limit(100))
+      .agg(sampler(col("h"), col("doc_id"), col("n_chars")))
+      .as[Seq[(Long, Long, Long)]].head()
+    assert(got2 == want)
+  }
+
+  test("d10 query: exact order stats right; estimates within sample tolerance") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Sketches.d10QuantileSample(spark, dir)
+      .as[(String, Long, Int, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (lang, n, m, estP50, estP90, exactP50, exactP90) =>
+      // exact columns against a driver-side sort
+      val all = Relational.table(spark, dir, "documents")
+        .filter(col("lang") === lang)
+        .select("n_chars", "doc_id").as[(Long, Long)].collect()
+        .sortBy(identity).map(_._1)
+      assert(n == all.length)
+      assert(exactP50 == all(((n - 1) / 2).toInt), lang)
+      assert(exactP90 == all((((n - 1) * 9) / 10).toInt), lang)
+      assert(m == math.min(64, n))
+      // a 64-point uniform sample's p50/p90 land within a generous rank band
+      def rankOf(v: Long) = all.count(_ <= v).toDouble / n
+      assert(math.abs(rankOf(estP50) - 0.5) < 0.25, s"$lang p50 rank ${rankOf(estP50)}")
+      assert(math.abs(rankOf(estP90) - 0.9) < 0.25, s"$lang p90 rank ${rankOf(estP90)}")
+    }
+  }
+
   test("d8 query: est column equals the relational window replica, rows per lang") {
     val dir = "/root/testdata/sf0.001"
     val got = Sketches.d8KmvDistinct(spark, dir)
