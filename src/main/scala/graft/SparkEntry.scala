@@ -152,7 +152,7 @@ object SparkEntry {
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
-      graft.streaming.EventsStream.dedupEvents(s, s.read.parquet(s"$d/events.parquet"))),
+      graft.streaming.EventsStream.dedupEvents(R.table(s, d, "events"))),
   )
 
   /** Single source of truth for the oracle-frame location: the SQL below
@@ -467,7 +467,7 @@ object SparkEntry {
       """WITH h AS (
         |  SELECT DISTINCT lang,
         |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |r AS (SELECT lang, h,
         |  row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
         |a AS (SELECT lang, count(*) AS n_distinct,
@@ -506,7 +506,7 @@ object SparkEntry {
       """WITH h AS (
         |  SELECT lang, doc_id, n_chars,
         |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-        |  FROM documents),
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
         |s AS (SELECT lang, n_chars,
         |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h),
         |sa AS (SELECT lang, count(*) AS m, list_sort(list(n_chars)) AS sv

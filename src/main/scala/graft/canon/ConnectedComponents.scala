@@ -56,20 +56,12 @@ object ConnectedComponents {
     * they fall out of scope.
     */
   def run(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
-          maxIterations: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+          maxIterations: Int = 50, checkpointDir: Option[String] = None): DataFrame =
     // reliable (fault-tolerant) checkpointing when a dir is given — the real-
     // cluster mode: round frames survive executor loss. localCheckpoint is
-    // the single-JVM default (no HDFS in the sandbox); same call shape.
-    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
-    if (checkpointDir.isDefined && prevCheckpointDir.isEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"session had no checkpoint dir; '${checkpointDir.get}' will remain " +
-          "the session-global checkpoint dir after this call (Spark has no unset API)")
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    try {
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    // the single-JVM default (no HDFS in the sandbox); the global-dir
+    // save/warn/restore dance lives in ONE place, Checkpoints.withDir.
+    graft.tables.Checkpoints.withDir(spark, checkpointDir) { materialize =>
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -132,9 +124,5 @@ object ConnectedComponents {
         s"connected components did not converge after $maxIterations rounds " +
           s"($changed labels still changing); raise maxIterations")
     labels
-    } finally {
-      // restore the session's previous checkpoint dir (global state)
-      if (checkpointDir.isDefined) prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
     }
-  }
 }

@@ -99,29 +99,37 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
-    val perBand = numHashes / bands
-    val d = minhashSigs(spark, dir, numHashes)
-
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band") +:
-        (0 until perBand).map(r => element_at(col("sig"), b * perBand + r + 1).as(s"r$r")): _*)
-        .as("bucket")
-    }
     // both self-join sides read the bucket frame: persist so signatures are
     // computed once per doc, not once per side
-    val buckets = d.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bucket"))
+    val buckets = bandBuckets(minhashSigs(spark, dir, numHashes), numHashes, bands)
       .persist()
     val out = minhashLshFrame(buckets, numHashes, threshold).localCheckpoint(true)
     buckets.unpersist()
     out
   }
 
-  /** The candidate-join/estimate plan over a (pre-persisted) bucket frame —
-    * the plan seam PlanShapeSpec pins.
+  /** (doc_id, sig, bucket) frame: one row per doc per band, bucket = the
+    * band id + its signature slice.
     */
-  def minhashLshFrame(buckets: DataFrame, numHashes: Int, threshold: Double): DataFrame = {
+  private def bandBuckets(d: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val perBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until perBand).map(r => element_at(col("sig"), b * perBand + r + 1).as(s"r$r")): _*)
+        .as("bucket")
+    }
+    d.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bucket"))
+  }
+
+  /** Shared candidate-join/estimate plan: the full and incremental seams
+    * differ ONLY in the optional right-side (batch) filter — one place owns
+    * the estimate expression and the filter-before-dedup ordering.
+    */
+  private def lshPairEstimates(buckets: DataFrame, rightFilter: Option[Column],
+                               numHashes: Int, threshold: Double): DataFrame = {
     val l = buckets.select(col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
-    val r = buckets.select(col("bucket"), col("doc_id").as("b"), col("sig").as("sigb"))
+    val r = rightFilter.fold(buckets)(buckets.filter)
+      .select(col("bucket"), col("doc_id").as("b"), col("sig").as("sigb"))
     // similarity-filter BEFORE the (a,b) dedup shuffle: the estimate is a
     // narrow map over the joined rows, so only pairs that pass it travel —
     // at corpus scale the candidate stream is orders of magnitude larger
@@ -133,6 +141,12 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("a", "b")
   }
+
+  /** The candidate-join/estimate plan over a (pre-persisted) bucket frame —
+    * the plan seam PlanShapeSpec pins.
+    */
+  def minhashLshFrame(buckets: DataFrame, numHashes: Int, threshold: Double): DataFrame =
+    lshPairEstimates(buckets, None, numHashes, threshold)
 
   /** Incremental MinHash dedup — the ingestion shape at corpus scale: a new
     * batch (doc_id ≥ splitId) is checked against the existing corpus AND
@@ -148,14 +162,7 @@ object Dedup {
   def minhashLshIncremental(spark: SparkSession, dir: String, splitId: Long,
                             numHashes: Int = 16, bands: Int = 4,
                             threshold: Double = 0.5): DataFrame = {
-    val perBand = numHashes / bands
-    val d = minhashSigs(spark, dir, numHashes)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band") +:
-        (0 until perBand).map(r => element_at(col("sig"), b * perBand + r + 1).as(s"r$r")): _*)
-        .as("bucket")
-    }
-    val buckets = d.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bucket"))
+    val buckets = bandBuckets(minhashSigs(spark, dir, numHashes), numHashes, bands)
       .persist()
     val out = minhashLshIncrementalFrame(buckets, splitId, numHashes, threshold)
       .localCheckpoint(true)
@@ -165,21 +172,12 @@ object Dedup {
 
   /** The incremental candidate join over a (pre-persisted) bucket frame —
     * the plan seam PlanShapeSpec pins: the batch filter sits under exactly
-    * one join side, so corpus buckets never pair with each other.
+    * one join side (the corpus never self-pairs); everything else is the
+    * shared [[lshPairEstimates]] plan.
     */
   def minhashLshIncrementalFrame(buckets: DataFrame, splitId: Long,
-                                 numHashes: Int, threshold: Double): DataFrame = {
-    val l = buckets.select(col("bucket"), col("doc_id").as("a"), col("sig").as("siga"))
-    // the batch side: only new docs — the corpus never self-pairs
-    val r = buckets.filter(col("doc_id") >= splitId)
-      .select(col("bucket"), col("doc_id").as("b"), col("sig").as("sigb"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), bEq => bEq))
-          .cast("double") / numHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
-      .dropDuplicates("a", "b")
-  }
+                                 numHashes: Int, threshold: Double): DataFrame =
+    lshPairEstimates(buckets, Some(col("doc_id") >= splitId), numHashes, threshold)
 
   /** The dd4 query entry: the "batch" is the newest 20% of doc ids — the
     * split point is a bounded 1-row aggregate both engines compute

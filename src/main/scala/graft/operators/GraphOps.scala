@@ -17,13 +17,17 @@ object GraphOps {
     * bounded upstream by the mention cap, the same guard kg2 documents.
     * Returns (a, b, w) with a < b.
     */
-  def cooccurEdges(urlQid: DataFrame, minShared: Int): DataFrame = {
+  def cooccurEdges(urlQid: DataFrame, minShared: Int,
+                   assumeDistinct: Boolean = false): DataFrame = {
     val spark = urlQid.sparkSession
     import spark.implicits._
     // group once and expand pairs narrow — a url self-join shuffles the
     // (url, qid) rows twice and re-derives the upstream frame per side;
-    // this shape shuffles them once and the pair expansion is a map
-    urlQid.select("url", "qid").distinct()
+    // this shape shuffles them once and the pair expansion is a map.
+    // assumeDistinct skips the dedup shuffle when the caller already
+    // deduped (liftScores persists its distinct frame for the count dims)
+    (if (assumeDistinct) urlQid.select("url", "qid")
+     else urlQid.select("url", "qid").distinct())
       .groupBy("url").agg(sort_array(collect_set(col("qid"))).as("qs"))
       .select(col("qs")).as[Seq[String]]
       .flatMap { qs =>
@@ -58,20 +62,14 @@ object GraphOps {
   def pageRankInt(edges0: DataFrame, iters: Int = 10,
                   scale: Long = 1000000000000L,
                   checkpointInterval: Int = 5,
-                  checkpointDir: Option[String] = None): DataFrame = {
-    import scala.util.chaining._
-    val spark = edges0.sparkSession
-    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
-    if (checkpointDir.isDefined && prevCheckpointDir.isEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"session had no checkpoint dir; '${checkpointDir.get}' will remain " +
-          "the session-global checkpoint dir after this call (Spark has no unset API)")
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    try {
-      def materialize(df: DataFrame): DataFrame =
-        if (checkpointDir.isDefined) df.checkpoint(eager = true)
-        else df.localCheckpoint(eager = true)
-      val edges = edges0.select("src", "dst").distinct()
+                  checkpointDir: Option[String] = None): DataFrame =
+    graft.tables.Checkpoints.withDir(edges0.sparkSession, checkpointDir) { materialize =>
+      import scala.util.chaining._
+      // persist the deduped edge set FIRST: outdeg, edgesOd and nodes all
+      // derive from it — without this the caller's upstream pipeline
+      // (mention detection at kg15) re-runs once per derivation (the
+      // self-join recompute trap triangles documents)
+      val edges = edges0.select("src", "dst").distinct().persist()
       val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
       val edgesOd = edges.join(outdeg, Seq("src")).persist()
       val nodes = edges.select(col("src").as("id"))
@@ -79,6 +77,8 @@ object GraphOps {
         .distinct().persist()
       val n = nodes.count()
       require(n > 0, "pageRankInt needs at least one edge")
+      edgesOd.count() // materialize, then release the raw edge set
+      edges.unpersist()
       val init = scale / n
       val base = (scale * 15L / 100L) / n
 
@@ -97,10 +97,7 @@ object GraphOps {
       }
       edgesOd.unpersist(); nodes.unpersist()
       ranks
-    } finally {
-      if (checkpointDir.isDefined) prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
     }
-  }
 
   /** Association (lift) scores for co-occurring entity pairs:
     * `lift = P(a,b) / (P(a)·P(b))` computed as `w·n / (cₐ·c_b)` over the
@@ -119,7 +116,7 @@ object GraphOps {
     val uq = urlQid.select("url", "qid").distinct().persist()
     val n = uq.select("url").distinct().count()
     val docCounts = uq.groupBy("qid").agg(count(lit(1)).as("c"))
-    val out = cooccurEdges(uq, minShared)
+    val out = cooccurEdges(uq, minShared, assumeDistinct = true)
       .join(docCounts.select(col("qid").as("a"), col("c").as("ca")), Seq("a"))
       .join(docCounts.select(col("qid").as("b"), col("c").as("cb")), Seq("b"))
       .select(col("a"), col("b"), col("w"),

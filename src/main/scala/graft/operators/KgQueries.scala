@@ -213,7 +213,11 @@ object KgQueries {
     val labelsDf = labels(spark)
     val resolved = Linker.resolvedMentions(spark, extractText(spark, dir), dictOf(labelsDf))
     val urlQid = Linker.explodeCandidates(resolved).select("url", "qid")
-    val und = GraphOps.cooccurEdges(urlQid, minShared = 2)
+    // checkpoint the undirected edges ONCE: both union branches (and every
+    // frame pageRankInt derives) would otherwise re-run the mention
+    // front-end per reference in bench mode (materializeForOracle is a
+    // pass-through there)
+    val und = GraphOps.cooccurEdges(urlQid, minShared = 2).localCheckpoint(true)
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     GraphOps.pageRankInt(materializeForOracle(sym, "kg15_edges"), iters = 10)
@@ -243,7 +247,9 @@ object KgQueries {
     val labelsDf = labels(spark)
     val resolved = Linker.resolvedMentions(spark, extractText(spark, dir), dictOf(labelsDf))
     val urlQid = Linker.explodeCandidates(resolved).select("url", "qid")
-    val und = GraphOps.cooccurEdges(urlQid, minShared = 2)
+    // checkpointed once: seeds AND bfsDistances both read the edge frame
+    // (see pagerank above for why)
+    val und = GraphOps.cooccurEdges(urlQid, minShared = 2).localCheckpoint(true)
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val edges = materializeForOracle(sym, "kg16_edges")

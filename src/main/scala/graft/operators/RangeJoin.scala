@@ -41,17 +41,25 @@ object RangeJoin {
     require(shared.isEmpty,
       s"range join needs disjoint column names, both sides have: ${shared.mkString(", ")}")
 
-    // floor-division on longs (Column `/` is double division; magnitudes
-    // here are far below 2^53 so the floor is exact). The cast accepts
-    // TIMESTAMP_NTZ parquet columns, which unix_micros alone rejects —
-    // identity under the session's pinned UTC.
+    // EXACT integer floor division at any magnitude or sign:
+    // `us - pmod(us, w)` is an exact multiple of w (pmod ≥ 0), and `div`
+    // of an exact multiple is the floor — a double `/` would misassign
+    // buckets once |us| exceeds 2^53 (~year 2255 in microseconds), exactly
+    // the malformed-timestamp regime the explosion guard below exists for.
+    // The cast accepts TIMESTAMP_NTZ parquet columns, which unix_micros
+    // alone rejects — identity under the session's pinned UTC.
     def micros(t: Column): Column = unix_micros(t.cast("timestamp"))
-    def bucketOf(us: Column): Column = floor(us / lit(bucketUs)).cast("long")
+    def bucketOf(usCol: String): Column =
+      expr(s"($usCol - pmod($usCol, ${bucketUs}L)) div ${bucketUs}L")
     val p = points
-      .withColumn("_b", bucketOf(micros(pointTime)))
+      .withColumn("_us", micros(pointTime))
+      .withColumn("_b", bucketOf("_us")).drop("_us")
     val i = intervals
-      .withColumn("_bs", bucketOf(micros(start)))
-      .withColumn("_be", bucketOf(micros(end) - 1))
+      .withColumn("_uss", micros(start))
+      .withColumn("_use", micros(end) - 1)
+      .withColumn("_bs", bucketOf("_uss"))
+      .withColumn("_be", bucketOf("_use"))
+      .drop("_uss", "_use")
       .filter(col("_bs") <= col("_be")) // empty/degenerate intervals match nothing
       // fail loudly, not OOM: one malformed open-ended interval (year-9999
       // end) would otherwise explode to millions of bucket rows. The guard

@@ -148,6 +148,8 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val sampler = udaf(new BottomKSampleAgg(k))
     val docs = Relational.table(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("n_chars").isNotNull) // typed
+        // agg inputs are non-nullable Longs; oracle filters identically
       .select(col("lang"), col("doc_id"), col("n_chars"),
         kmvHash(col("doc_id").cast("string")).as("h"))
 
@@ -232,6 +234,9 @@ object Sketches {
   def d8KmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     val kmv = udaf(new KmvAgg(k))
     val hashes = Relational.table(spark, dir, "documents")
+      .filter(col("text").isNotNull) // null text = no hash: the typed agg's
+                                     // Long input is non-nullable, and SQL
+                                     // count(DISTINCT) ignores nulls anyway
       .select(col("lang"), kmvHash(col("text")).as("h"))
       .distinct() // for the exact column only; KmvAgg dedups by itself
     hashes.groupBy("lang")

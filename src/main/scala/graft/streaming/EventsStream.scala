@@ -154,7 +154,7 @@ object EventsStream {
     * st2 oracle path): duplicates collapse on the delivery key. Output uses
     * epoch millis so the oracle compare is timestamp-encoding-free.
     */
-  def dedupEvents(spark: SparkSession, events: DataFrame): DataFrame =
+  def dedupEvents(events: DataFrame): DataFrame =
     withRetransmissions(events)
       .dropDuplicates("event_id")
       .select(col("event_id"),

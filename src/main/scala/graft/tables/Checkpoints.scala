@@ -28,16 +28,28 @@ object Checkpoints {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  def eager(df: DataFrame, dir: Option[String] = None): DataFrame = dir match {
-    case None => df.localCheckpoint(eager = true)
+  /** Run `body` with a materialize function bound to the chosen durability:
+    * `localCheckpoint(eager)` when `dir` is None, reliable `checkpoint()`
+    * inside a single save/set/restore of the global checkpoint dir when
+    * Some — the one place the SparkContext-global state dance lives
+    * (iterative callers materialize many frames per call; wrapping once
+    * here instead of per-frame also keeps the no-previous-dir warning to
+    * one line per job).
+    */
+  def withDir[A](spark: org.apache.spark.sql.SparkSession, dir: Option[String])
+                (body: (DataFrame => DataFrame) => A): A = dir match {
+    case None => body(df => df.localCheckpoint(eager = true))
     case Some(d) =>
-      val sc = df.sparkSession.sparkContext
+      val sc = spark.sparkContext
       val prev = sc.getCheckpointDir
       if (prev.isEmpty)
         log.warn(s"session had no checkpoint dir; '$d' will remain the " +
           "session-global checkpoint dir after this call (Spark has no unset API)")
       sc.setCheckpointDir(d)
-      try df.checkpoint(eager = true)
+      try body(df => df.checkpoint(eager = true))
       finally prev.foreach(sc.setCheckpointDir)
   }
+
+  def eager(df: DataFrame, dir: Option[String] = None): DataFrame =
+    withDir(df.sparkSession, dir)(materialize => materialize(df))
 }

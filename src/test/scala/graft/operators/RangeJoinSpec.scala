@@ -55,6 +55,21 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(gotAll.toSet == wantAll)
   }
 
+  test("bucket assignment is exact past 2^53 microseconds (no double rounding)") {
+    // base epoch ~5e17 us (> 2^53): a double floor-div misassigns buckets
+    // here; the integer (us - pmod) div path must keep boundary semantics
+    val baseS = 500000000001L // odd seconds so the microsecond values are not
+                              // multiples of a double ulp at this magnitude
+    val w = 10000000L // 10s buckets
+    val pDf = Seq((1L, ts(baseS + 10)), (2L, ts(baseS + 20)), (3L, ts(baseS + 30)))
+      .toDF("pid", "t")
+    val iDf = Seq((100L, ts(baseS + 10), ts(baseS + 30))).toDF("iid", "s", "e")
+    val got = RangeJoin.bucketedIntervalJoin(pDf, iDf,
+      pointTime = col("t"), start = col("s"), end = col("e"), bucketUs = w)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("an interval spanning too many buckets fails loudly, not OOM") {
     val pDf = Seq((1L, ts(10))).toDF("pid", "t")
     val iDf = Seq((100L, ts(0), ts(10000000L))).toDF("iid", "s", "e")

@@ -22,7 +22,7 @@ class StreamDedupSpec extends AnyFunSuite {
     val withDupes = EventsStream.withRetransmissions(events).count()
     assert(withDupes > base, "retransmission model injected no duplicates")
 
-    val batch = EventsStream.dedupEvents(spark, events)
+    val batch = EventsStream.dedupEvents(events)
       .as[(Long, Long, Long, String, Double)].collect().toSet
     assert(batch.size == base, "verbatim duplicates must collapse to the original set")
 
