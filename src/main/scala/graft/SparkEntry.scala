@@ -149,6 +149,8 @@ object SparkEntry {
     "kg16_bfs" -> (KgQueries.bfs _),
     // top-50 entity pairs by lift — IEEE-double-exact association mining
     "kg17_cooccur_lift" -> (KgQueries.lift _),
+    // referential-integrity QA: QID-valued statements with no target entity
+    "kg18_dangling_refs" -> (KgQueries.dangling _),
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
@@ -1097,6 +1099,15 @@ object SparkEntry {
         |SELECT t[1] AS q1, t[2] AS q2, t[3] AS q3 FROM s""".stripMargin,
     "kg15_pagerank" -> pagerankSql(iters = 10),
     "kg16_bfs" -> bfsSql(hops = 3),
+    // kg18: left join + conditional aggregation replayed from the
+    // materialized claim-row and known-id frames
+    "kg18_dangling_refs" ->
+      s"""SELECT pid, count(*) AS n_refs, count(k.id) AS n_resolved,
+         |  count(*) - count(k.id) AS n_dangling
+         |FROM read_parquet('$OF/kg18_qid_refs/*.parquet') r
+         |LEFT JOIN read_parquet('$OF/kg18_known_ids/*.parquet') k
+         |  ON k.id = r.valueScalar
+         |GROUP BY pid""".stripMargin,
     // kg17: counts, pair weights, and the exact two-op double arithmetic
     // (w::DOUBLE * n, then / (ca*cb)) recomputed from the materialized
     // bipartite frame; ranked cut tie-broken on (a, b)

@@ -187,6 +187,42 @@ object KgQueries {
       .filter(col("n_values") > 1)
   }
 
+  /** Referential-integrity QA: per property, how many QID-valued statements
+    * resolve to a known entity and how many dangle (no label row for the
+    * target). The claim-row parse (incl. the isQidValue flag) is the
+    * non-SQL kernel and is materialized; the DuckDB oracle replays the
+    * left join + conditional aggregation as a hard check. On this
+    * self-consistent generated corpus n_dangling is legitimately 0 for
+    * every pid — the per-pid n_refs/n_resolved rows keep the gate
+    * non-degenerate, and DanglingRefsSpec plants a broken reference to
+    * prove the dangling column actually fires. At corpus scale this is
+    * one shuffle join on the target id — the same key the label dim is
+    * bucketed by.
+    */
+  def dangling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = payloads(spark).map(_.payload).flatMap { line =>
+      WikidataJson.parseLine(line).map(WikidataJson.toClaimRows(_, "en")).getOrElse(Seq.empty)
+    }.toDF()
+    val qidRefs = materializeForOracle(
+      rows.filter(col("isQidValue")).select("qid", "pid", "valueScalar"),
+      "kg18_qid_refs")
+    val known = materializeForOracle(
+      labelsEn(spark).select(col("id")).distinct(), "kg18_known_ids")
+    danglingStats(qidRefs, known)
+  }
+
+  /** The join/aggregate half of kg18 over (pid, valueScalar) refs and a
+    * known-id dim — the seam DanglingRefsSpec drives with planted danglers.
+    */
+  def danglingStats(qidRefs: DataFrame, known: DataFrame): DataFrame =
+    qidRefs
+      .join(known, qidRefs("valueScalar") === known("id"), "left")
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_refs"),
+        count(known("id")).as("n_resolved"),
+        (count(lit(1)) - count(known("id"))).as("n_dangling"))
+
   /** Triangle census of the entity co-occurrence graph (pairs sharing ≥ 2
     * pages): the "graph materialize" QA query — built from the SAME resolved
     * mention frame the link stages use, oriented degree-first so hubs never

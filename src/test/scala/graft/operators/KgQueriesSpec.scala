@@ -83,4 +83,26 @@ class KgQueriesSpec extends AnyFunSuite {
       .filter(col("part") === "main" && col("pid") === "P31").count()
     assert(mains == n + (0L until n).count(_ % 7 == 0) + (0L until n).count(_ % 13 == 0))
   }
+
+  test("kg18 danglingStats: planted broken references fire the dangling column") {
+    val refs = Seq(
+      ("Q1", "P17", "Q2"), ("Q1", "P17", "QMISSING"), // one resolved, one dangling
+      ("Q2", "P31", "Q1"), ("Q3", "P31", "Q1"),       // all resolved
+      ("Q3", "P99", "QGONE")                           // fully dangling pid
+    ).toDF("qid", "pid", "valueScalar")
+    val known = Seq("Q1", "Q2", "Q3").toDF("id")
+    val got = KgQueries.danglingStats(refs, known)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "P17" -> ((2L, 1L, 1L)),
+      "P31" -> ((2L, 2L, 0L)),
+      "P99" -> ((1L, 0L, 1L))))
+    // on the self-consistent generated corpus the production query must
+    // see every reference resolve (and at least one pid row must exist)
+    val full = KgQueries.dangling(spark, "").as[(String, Long, Long, Long)].collect()
+    assert(full.nonEmpty)
+    assert(full.forall(_._4 == 0L), "generated corpus should have no danglers")
+    assert(full.map(_._2).sum == full.map(_._3).sum)
+  }
 }
