@@ -151,6 +151,16 @@ object SparkEntry {
     "kg17_cooccur_lift" -> (KgQueries.lift _),
     // referential-integrity QA: QID-valued statements with no target entity
     "kg18_dangling_refs" -> (KgQueries.dangling _),
+    // crawl-snapshot consolidation: latest-per-url + changed/unchanged
+    // revisit signal (digests computed BEFORE the per-url shuffle)
+    "kg19_revisit_latest" -> (KgQueries.revisit _),
+    // temporal SCD-2 triple history (P1082 across crawls 1+2): validity
+    // intervals open only on value CHANGES, re-assertions extend them
+    "kg20_triple_scd" -> (KgQueries.tripleScd _),
+    // incremental canonicalization: crawl-2 delta edges folded into the
+    // crawl-1 assignment via a contracted-graph CC (world never recomputed);
+    // oracle recomputes components from scratch over base ∪ delta
+    "kg21_canon_delta" -> (KgQueries.canonDelta _),
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
@@ -1099,6 +1109,51 @@ object SparkEntry {
         |SELECT t[1] AS q1, t[2] AS q2, t[3] AS q3 FROM s""".stripMargin,
     "kg15_pagerank" -> pagerankSql(iters = 10),
     "kg16_bfs" -> bfsSql(hops = 3),
+    // kg19: snapshot consolidation replayed from the materialized
+    // (url, warc_ts, digest) frame — arg-min/max digests decide `changed`
+    // (fetch times are unique per url by construction, so min_by/max_by
+    // are deterministic in both engines)
+    "kg19_revisit_latest" ->
+      s"""SELECT url, count(*) AS n_snapshots,
+         |  min(warc_ts) AS first_ts, max(warc_ts) AS latest_ts,
+         |  min_by(digest, warc_ts) <> max_by(digest, warc_ts) AS changed
+         |FROM read_parquet('$OF/kg19_snapshots/*.parquet')
+         |GROUP BY url""".stripMargin,
+    // kg20: SCD-2 validity intervals replayed from the materialized
+    // (qid, value, ts) observation frame — change points via lag, interval
+    // ends via lead, exactly the engine's two stacked windows
+    "kg20_triple_scd" ->
+      s"""WITH o AS (
+         |  SELECT * FROM read_parquet('$OF/kg20_obs/*.parquet')),
+         |c AS (
+         |  SELECT qid, value, ts,
+         |    lag(value) OVER (PARTITION BY qid ORDER BY ts) AS prev,
+         |    lag(ts) OVER (PARTITION BY qid ORDER BY ts) AS prev_ts
+         |  FROM o),
+         |cp AS (
+         |  SELECT qid, value, ts FROM c
+         |  WHERE prev_ts IS NULL OR value IS DISTINCT FROM prev)
+         |SELECT qid, value, ts AS valid_from,
+         |  lead(ts) OVER (PARTITION BY qid ORDER BY ts) AS valid_to
+         |FROM cp""".stripMargin,
+    // kg21: components recomputed FROM SCRATCH over base ∪ delta edges
+    // (recursive-CTE closure + min-label, the kg5 shape) — an independent
+    // check that the engine's incremental contracted-graph fold equals the
+    // full recompute
+    "kg21_canon_delta" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT src, dst FROM read_parquet('$OF/kg21_base_edges/*.parquet')
+         |  UNION
+         |  SELECT src, dst FROM read_parquet('$OF/kg21_delta_edges/*.parquet')),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |n AS (
+         |  SELECT id FROM read_parquet('$OF/kg21_nodes/*.parquet')
+         |  UNION SELECT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id AS r FROM n
+         |  UNION
+         |  SELECT reach.id, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src)
+         |SELECT id, min(r) AS component FROM reach GROUP BY id HAVING min(r) <> id""".stripMargin,
     // kg18: left join + conditional aggregation replayed from the
     // materialized claim-row and known-id frames
     "kg18_dangling_refs" ->

@@ -125,4 +125,75 @@ object ConnectedComponents {
           s"($changed labels still changing); raise maxIterations")
     labels
     }
+
+  /** Incremental maintenance: fold a crawl delta's edges into an existing
+    * FULL assignment (every id, including trivial id == component rows,
+    * i.e. [[run]]'s raw output) WITHOUT re-running components over the
+    * world. The daily-crawl reality at 10^12 documents: the base graph has
+    * billions of nodes, the delta has millions of edges — a full recompute
+    * is a world-scan per day, while this touches the world only in one
+    * final broadcast-sized remap join.
+    *
+    * Correctness: base labels are min-ids of their base components, so
+    * contracting every delta edge endpoint to its base label and running
+    * [[run]] on the CONTRACTED graph (≤ 2·|delta| nodes) yields, for each
+    * merged label set, the min over base labels = the global min id —
+    * exactly the full-recompute answer (property-pinned: incremental ==
+    * [[run]] over base ∪ delta edges). Delta edges that merely re-assert
+    * existing links contract to self-loops and drop out, so re-crawled
+    * pages re-emitting their old sameAs claims cost nothing.
+    *
+    * Returns the same FULL-assignment shape as [[run]] covering base ids ∪
+    * delta endpoints. The remap join is on the contracted-component result
+    * (bounded by the delta size), broadcast by default — the world-sized
+    * base frame never shuffles; pass `broadcastRemap = false` for deltas
+    * too large for the driver and it degrades to a shuffle join on the
+    * label key. `materializeResult = false` returns the un-checkpointed
+    * frame (plan inspectable; the caller then owns unpersisting the
+    * internal assign/delta caches — test-only escape hatch).
+    */
+  def runIncremental(spark: SparkSession, baseAssign: DataFrame,
+                     deltaEdges: DataFrame, maxIterations: Int = 50,
+                     checkpointDir: Option[String] = None,
+                     broadcastRemap: Boolean = true,
+                     materializeResult: Boolean = true): DataFrame = {
+    val base = baseAssign.select(col("id"), col("component"))
+    // delta edges are scanned three times below (endpoint union + both
+    // contraction joins) — persist so an expensive upstream (a crawl
+    // parse) runs once
+    val delta = deltaEdges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // endpoints unseen by the base crawl are their own base component
+    val deltaNodes = delta.select(col("src").as("id"))
+      .unionByName(delta.select(col("dst").as("id")))
+      .distinct()
+    val newNodes = deltaNodes.join(base, Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    val assign = base.unionByName(newNodes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // contract delta edges to base labels; re-asserted edges become
+    // self-loops and are dropped BEFORE the small CC run
+    val contracted = delta
+      .join(assign.select(col("id").as("src"), col("component").as("csrc")), Seq("src"))
+      .join(assign.select(col("id").as("dst"), col("component").as("cdst")), Seq("dst"))
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    // run() labels the contracted graph by ITS node ids, which are base
+    // labels — so the remap key is the old label, the value the merged min
+    val emptyNodes = assign.select(col("id")).limit(0)
+    val remap = run(spark, contracted, emptyNodes, maxIterations, checkpointDir)
+      .select(col("id").as("component"), col("component").as("_merged"))
+
+    val out = assign
+      .join(if (broadcastRemap) broadcast(remap) else remap, Seq("component"), "left")
+      .select(col("id"), coalesce(col("_merged"), col("component")).as("component"))
+    if (!materializeResult) return out // caller owns assign/delta lifecycle
+    val materialized = out.localCheckpoint(true)
+    assign.unpersist()
+    delta.unpersist()
+    materialized
+  }
 }

@@ -143,12 +143,16 @@ object KgQueries {
     * transitive closure + min-label) — a from-first-principles check of the
     * pointer-jumped iterative-join implementation, not a replay of it.
     */
-  def canon(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sameAs = payloads(spark)
-      .flatMap(pp => WikidataJson.parseLine(pp.payload).toSeq.flatMap(WikidataJson.toClaimRows(_, "en")))
+  /** sameAs identity edges extracted from a payload set (the canon input). */
+  private def sameAsEdgesOf(pp: org.apache.spark.sql.Dataset[graft.pipeline.PagePayload]): DataFrame = {
+    import pp.sparkSession.implicits._
+    pp.flatMap(p => WikidataJson.parseLine(p.payload).toSeq.flatMap(WikidataJson.toClaimRows(_, "en")))
       .filter(r => r.pid == PagesGen.sameAsPid && r.isQidValue)
       .map(r => (r.qid, r.valueScalar)).toDF("src", "dst")
+  }
+
+  def canon(spark: SparkSession, dir: String): DataFrame = {
+    val sameAs = sameAsEdgesOf(payloads(spark))
     val nodes = labelsEn(spark).select("id")
     graft.canon.ConnectedComponents.run(spark,
       materializeForOracle(sameAs, "kg5_edges"),
@@ -423,5 +427,67 @@ object KgQueries {
       maxTokens, langOverride = Some("en"))
     TextifyStage.explodeChunks(materializeForOracle(arrays, "kg6_chunk_arrays"))
       .select(col("doc_id").as("chunk_id"), col("qid"), col("chunk"), col("text"))
+  }
+
+  // ───────────────────────── incremental crawl (crawl 2) ─────────────────
+
+  /** Both crawls stacked — the multi-snapshot corpus the incremental
+    * operators consume. Crawl 2 ([[PagesGen.pagesDelta]]) re-fetches ~⅓ of
+    * the urls a day later with deterministic change families.
+    */
+  private def pagesBoth(spark: SparkSession): DataFrame =
+    PagesGen.pages(spark, nPages).unionByName(PagesGen.pagesDelta(spark, nPages))
+
+  /** kg19: crawl-snapshot consolidation — one row per url with snapshot
+    * count, fetch-time range, and the changed/unchanged revisit signal.
+    * Content digests are computed BEFORE the per-url shuffle (the page
+    * bodies never move). Under graft.Verify the narrow (url, ts, digest)
+    * frame is materialized and the DuckDB oracle replays the min_by/max_by
+    * consolidation as a hard check.
+    */
+  def revisit(spark: SparkSession, dir: String): DataFrame =
+    Revisit.latest(materializeForOracle(
+      Revisit.snapshotDigests(pagesBoth(spark), "html"), "kg19_snapshots"))
+
+  /** kg20: temporal SCD-2 triple history for the population fact (P1082) —
+    * per-crawl observations collapse into validity intervals; a re-crawl
+    * that re-asserts the same value extends the open interval, only value
+    * CHANGES version. Window-only plan: one shuffle of (qid, value, ts).
+    */
+  def tripleScd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = pagesBoth(spark)
+      .select(col("warc_ts"), col("html"))
+      .as[(java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (ts, html) =>
+        PagesGen.extractPayload(html).toSeq
+          .flatMap(WikidataJson.parseLine)
+          .flatMap(e => WikidataJson.toClaimRows(e, "en"))
+          .filter(_.pid == "P1082")
+          .map(r => (r.qid, r.valueScalar, ts))
+      }.toDF("qid", "value", "ts")
+    Scd.intervals(materializeForOracle(obs, "kg20_obs"), Seq("qid"), "value", "ts")
+  }
+
+  /** kg21: INCREMENTAL canonicalization — crawl 2's sameAs edges folded
+    * into crawl 1's component assignment via the contracted-graph fold
+    * ([[graft.canon.ConnectedComponents.runIncremental]]): the small CC
+    * runs over ≤ 2·|delta| labels, the world-sized base assignment never
+    * reshuffles. Re-asserted crawl-1 edges contract to self-loops and cost
+    * nothing. The DuckDB oracle recomputes components FROM SCRATCH over
+    * base ∪ delta edges (recursive-CTE closure, the kg5 shape) — an
+    * independent from-first-principles check that the incremental fold
+    * equals the full recompute.
+    */
+  def canonDelta(spark: SparkSession, dir: String): DataFrame = {
+    val baseEdges = sameAsEdgesOf(payloads(spark))
+    val deltaEdges = sameAsEdgesOf(
+      TextifyStage.payloads(spark, PagesGen.pagesDelta(spark, nPages)))
+    val nodes = materializeForOracle(labelsEn(spark).select("id"), "kg21_nodes")
+    val baseAssign = graft.canon.ConnectedComponents.run(spark,
+      materializeForOracle(baseEdges, "kg21_base_edges"), nodes)
+    graft.canon.ConnectedComponents.runIncremental(spark, baseAssign,
+      materializeForOracle(deltaEdges, "kg21_delta_edges"))
+      .filter(col("id") =!= col("component"))
   }
 }

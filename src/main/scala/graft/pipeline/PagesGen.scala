@@ -52,7 +52,19 @@ object PagesGen {
     s"${adjectives((i % adjectives.size).toInt)} ${nouns(((i / adjectives.size) % nouns.size).toInt)} $i"
 
   /** Build the raw entity payload for item index i (of n). Pure. */
-  def entityJson(i: Long, n: Long, mapper: ObjectMapper): String = {
+  def entityJson(i: Long, n: Long, mapper: ObjectMapper): String =
+    entityJson(i, n, mapper, crawl = 1)
+
+  /** Build the raw entity payload for item index i (of n) as served on the
+    * given `crawl`. Crawl 1 is the pinned base corpus (the overload above —
+    * byte-identical to what every golden was generated from). Crawl 2
+    * re-serves the SAME bytes except for the two deterministic change
+    * families below; the per-row Random is seeded identically and every
+    * draw still happens in the same order, so an entity outside both
+    * families is byte-for-byte the crawl-1 payload (the revisit operator's
+    * "unchanged" contract is real, not approximate).
+    */
+  def entityJson(i: Long, n: Long, mapper: ObjectMapper, crawl: Int): String = {
     val rnd = new java.util.Random(0xC0FFEEL * 31 + i)
     val root = mapper.createObjectNode()
     root.put("type", "item").put("id", qid(i))
@@ -142,7 +154,12 @@ object PagesGen {
       block.putArray("snaks-order").add("P580")
     }
     claim("P361", itemSnak(qid((i * 13 + 5) % n)))
-    claim("P1082", qtySnak(s"+${1000 + rnd.nextInt(999000)}", "1"))
+    // population: crawl 2 REVISES it for every 6th entity (the SCD change
+    // family). The crawl-1 draw is consumed either way so every later
+    // rnd-derived claim stays byte-identical across crawls.
+    val popCrawl1 = s"+${1000 + rnd.nextInt(999000)}"
+    val pop = if (crawl >= 2 && i % 6 == 0) s"+${2000000 + i % 999000}" else popCrawl1
+    claim("P1082", qtySnak(pop, "1"))
     claim("P2043", qtySnak(s"+${rnd.nextInt(5000)}.${rnd.nextInt(10)}", qid(40)))
     val prec = Seq(11, 9, 10, 7)(rnd.nextInt(4))
     val cal = if (rnd.nextInt(5) == 0) "Q1985786" else "Q1985727"
@@ -150,6 +167,13 @@ object PagesGen {
     claim("P1448", monoSnak(s"The Official ${labelOfIndex(i)}"))
     if (i % 4 == 0) claim("P1889", strSnak(s"""note "quoted" fact $i"""))
     if (i % 12 == 1) claim(sameAsPid, itemSnak(qid(i - 1))) // twin edge
+    // crawl 2's NEW identity evidence (the delta-canon change family):
+    // every 24th entity (i ≡ 1 mod 24, itself half of a crawl-1 twin pair
+    // {i-1, i}) asserts sameAs to qid(i+12) — the other half of ANOTHER
+    // crawl-1 twin pair {i+11, i+12} — so incremental canonicalization must
+    // merge two existing 2-node components into one 4-node component.
+    if (crawl >= 2 && i % 24 == 1 && i + 12 < n)
+      claim(sameAsPid, itemSnak(qid(i + 12)))
 
     mapper.writeValueAsString(root)
   }
@@ -194,6 +218,39 @@ object PagesGen {
         htmlFor(pid, label, propertyJson(pid, label, mapper)), "", "en")
     }
     items.unionByName(props).toDF()
+  }
+
+  /** Crawl 2 fetch time: one day after the crawl-1 window opens; per-row
+    * offsets keep url-level timestamps unique across the union of crawls.
+    */
+  val crawl2Base = 1735689600000L + 86400000L
+
+  /** Deterministic SECOND crawl over the same url space (the incremental-
+    * crawl fixture): a subset of item pages is re-fetched one day later.
+    * Re-crawl set = every 3rd entity plus the i ≡ 1 mod 24 entities that
+    * gain the new sameAs edge. Within it,
+    *  - i % 6 == 0  → the population (P1082) value is revised
+    *    ([[entityJson]]'s SCD change family): content digest changes, the
+    *    triple history gains a second validity interval;
+    *  - i % 24 == 1 → a NEW sameAs claim appears (delta-canon must merge
+    *    two crawl-1 components);
+    *  - everything else re-serves byte-identical HTML at the new warc_ts
+    *    (revisit consolidation must classify it unchanged).
+    * Properties are not re-crawled. Same determinism contract as [[pages]]:
+    * same (n, partitions) ⇒ byte-identical frame at any parallelism.
+    */
+  def pagesDelta(spark: SparkSession, n: Long, partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions)
+      .filter(i => i % 3 == 0 || i % 24 == 1)
+      .map { i =>
+        val mapper = graft.model.WikidataJson.mapper
+        val payload = entityJson(i, n, mapper, crawl = 2)
+        val id = qid(i)
+        Page(urlOf(id), new java.sql.Timestamp(crawl2Base + i * 1000),
+          htmlFor(id, labelOfIndex(i), payload),
+          "", langs((i % langs.size).toInt))
+      }.toDF()
   }
 
   /** Pull the embedded entity payload back out of the HTML (the extract

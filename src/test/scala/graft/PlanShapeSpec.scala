@@ -186,4 +186,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("graft_fdot"), p.take(1200))
     assert(!p.contains("CartesianProduct"), "IVF must not plan a cartesian product")
   }
+
+  test("kg19: digests are projected BEFORE the per-url shuffle (bodies never move)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pages = Seq(("u1", new java.sql.Timestamp(1L), Array[Byte](1, 2)))
+      .toDF("url", "warc_ts", "html")
+    val df = graft.operators.Revisit
+      .latest(graft.operators.Revisit.snapshotDigests(pages, "html"))
+    // the consolidation aggregate's input (what crosses the url shuffle)
+    // must carry the 16-byte digest, never the page body
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.nonEmpty)
+    val shuffled = aggs.head.child.output.map(_.name)
+    assert(shuffled.contains("digest") && !shuffled.contains("html"),
+      s"aggregate input was $shuffled")
+  }
+
+  test("kg20: both SCD windows share ONE exchange+sort (single shuffle history build)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val obs = Seq(("q", "v", new java.sql.Timestamp(1L))).toDF("qid", "value", "ts")
+    val p = graft.operators.Scd.intervals(obs, Seq("qid"), "value", "ts")
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val windows = "(?m)^\\(\\d+\\) Window".r.findAllIn(p).size
+    val exchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(windows == 2, s"expected 2 Window operators, got $windows\n${p.take(1500)}")
+    assert(exchanges == 1, s"expected ONE hash exchange under both windows, got $exchanges\n${p.take(1500)}")
+  }
+
+  test("kg21: incremental canon remaps via ONE broadcast join — the base never reshuffles") {
+    val spark2 = spark
+    import spark2.implicits._
+    val baseAssign = graft.canon.ConnectedComponents.run(spark,
+      Seq(("b", "c")).toDF("src", "dst"), Seq("a", "b", "c").toDF("id"))
+    val out = graft.canon.ConnectedComponents.runIncremental(spark, baseAssign,
+      Seq(("c", "a"), ("z", "a")).toDF("src", "dst"), materializeResult = false)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "the world-sized base assignment must not sort-merge against the remap table\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache() // materializeResult=false leaves assign/delta persisted
+  }
 }
