@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T}
+import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,7 +60,18 @@ object SparkEntry {
     // deterministic bottom-k-by-hash uniform sample → quantile estimates
     // next to exact order statistics (no global per-group sort at scale)
     "d10_quantile_sample" -> ((s, d) => Sketches.d10QuantileSample(s, d)),
+    // Gopher-style repetition quality signals: all per-row higher-order
+    // array expressions — one narrow projection, zero shuffles (plan-pinned)
+    "d11_repetition" -> (T.d11RepetitionSignals _),
+    // eval-set n-gram decontamination: the distinct eval-gram set broadcasts,
+    // the corpus side's grams never shuffle (plan-pinned broadcast join)
+    "d12_decontaminate" -> ((s, d) => T.d12Decontaminate(s, d)),
     // dedup family
+    // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
+    // regexp columns, one narrow projection — zero shuffles
+    "w1_url_canon" -> (UrlOps.w1UrlCanon _),
+    // host rollup over canonical urls: scalar (host, canon) pairs shuffle
+    "w2_host_stats" -> (UrlOps.w2HostStats _),
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dd3_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardExact(s, d)),
@@ -204,6 +215,37 @@ object SparkEntry {
        |      THEN (1 << p.b) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM nn n CROSS JOIN pl p
        |  GROUP BY n.vec_id, p.t)""".stripMargin
+
+  /** w1/w2 oracle scaffold: rebuild the deterministic messy urls and replay
+    * the canonicalizer's six rules as chained CTEs; the caller supplies the
+    * final SELECT over `c7(doc_id, raw_url, canon_url)`.
+    */
+  private def urlCanonSql(finalSelect: String): String =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+       |    'Host' || CAST(doc_id % 13 AS VARCHAR) || '.Example.com' ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+       |    '/' || source || '/doc/' || CAST(doc_id AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+       |          WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&ref=' || lang
+       |          WHEN doc_id % 4 = 2 THEN '?utm_medium=a'
+       |          ELSE '?id=' || CAST(doc_id AS VARCHAR) END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS raw_url
+       |  FROM documents),
+       |c1 AS (SELECT doc_id, raw_url,
+       |  lower(regexp_extract(raw_url, '^([^/?#]*://[^/?#]*)', 1)) ||
+       |  regexp_replace(raw_url, '^[^/?#]*://[^/?#]*', '') AS u FROM raw),
+       |c2 AS (SELECT doc_id, raw_url,
+       |  regexp_replace(regexp_replace(u, '^(https://[^/?#:]+):443([/?#].*)?$$', '\\1\\2'),
+       |                 '^(http://[^/?#:]+):80([/?#].*)?$$', '\\1\\2') AS u FROM c1),
+       |c3 AS (SELECT doc_id, raw_url, regexp_replace(u, '^(https?://)www\\.', '\\1') AS u FROM c2),
+       |c4 AS (SELECT doc_id, raw_url, regexp_replace(u, '#.*$$', '') AS u FROM c3),
+       |c5 AS (SELECT doc_id, raw_url, regexp_replace(u, '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g') AS u FROM c4),
+       |c6 AS (SELECT doc_id, raw_url, regexp_replace(u, '^([^?&#]*)&', '\\1?') AS u FROM c5),
+       |c7 AS (SELECT doc_id, raw_url, regexp_replace(u, '[?&]$$', '') AS canon_url FROM c6)
+       |$finalSelect""".stripMargin
 
   /** kg15 oracle: PageRank's ten iterations UNROLLED as chained CTEs (a
     * recursive CTE cannot aggregate in its recursive term), replaying the
@@ -535,6 +577,70 @@ object SparkEntry {
         |  FROM e GROUP BY lang)
         |SELECT ex.lang, n_docs, m, est_p50, est_p90, exact_p50, exact_p90
         |FROM ex JOIN est USING (lang)""".stripMargin,
+    // d11: the oracle rebuilds words/2-grams/3-grams with DuckDB list
+    // lambdas and recomputes the max-2-gram multiplicity relationally
+    // (unnest + group-by + max) — an independent check of the engine's
+    // sorted-run `aggregate` form. All fractions divide exact integers, so
+    // the doubles (and the threshold booleans) are bit-identical.
+    "d11_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+        |    list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        |  FROM t),
+        |m2 AS (
+        |  SELECT doc_id, max(c) AS best2
+        |  FROM (SELECT doc_id, gram, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+        |        GROUP BY doc_id, gram)
+        |  GROUP BY doc_id),
+        |sig AS (
+        |  SELECT g.doc_id,
+        |    CAST(len(w) AS INTEGER) AS n_words,
+        |    CASE WHEN len(w) = 0 THEN 0.0
+        |         ELSE CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS dup_word_frac,
+        |    CASE WHEN len(g2) = 0 THEN 0.0
+        |         ELSE CAST(coalesce(m2.best2, 0) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END AS top_2gram_frac,
+        |    CASE WHEN len(g3) = 0 THEN 0.0
+        |         ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) END AS dup_3gram_frac
+        |  FROM g LEFT JOIN m2 ON g.doc_id = m2.doc_id)
+        |SELECT doc_id, n_words, dup_word_frac, top_2gram_frac, dup_3gram_frac,
+        |  (dup_word_frac > 0.3 OR top_2gram_frac > 0.18 OR dup_3gram_frac > 0.6) AS repetitive
+        |FROM sig""".stripMargin,
+    // d12: same 3-gram construction, eval slice = doc_id % 97 = 3; the
+    // oracle joins grams relationally (the engine broadcasts the eval set)
+    "d12_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+        |  FROM t),
+        |x AS (SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams, unnest(grams) AS gram FROM g),
+        |ev AS (SELECT DISTINCT gram FROM x WHERE doc_id % 97 = 3)
+        |SELECT doc_id, n_grams, count(*) AS n_shared,
+        |  CAST(count(*) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contaminated_frac
+        |FROM x JOIN ev USING (gram)
+        |WHERE doc_id % 97 <> 3
+        |GROUP BY doc_id, n_grams""".stripMargin,
+    // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
+    // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
+    // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)
+    "w1_url_canon" -> urlCanonSql(
+      "SELECT doc_id, raw_url, canon_url, " +
+        "regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host FROM c7"),
+    "w2_host_stats" -> urlCanonSql(
+      "SELECT regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host, " +
+        "count(*) AS n_docs, count(DISTINCT canon_url) AS n_unique_urls " +
+        "FROM c7 GROUP BY 1"),
     "dd1_minhash_lsh" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words

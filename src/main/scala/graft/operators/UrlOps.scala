@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + host-level crawl analytics — the web-corpus
+  * maintenance ops a crawl pipeline runs before any content dedup (the same
+  * page fetched as `HTTPS://WWW.Host:443/x?utm_source=feed#frag` and
+  * `https://host/x` must collide BEFORE MinHash ever sees the bytes).
+  * Generalizes the reference's url-keyed tables (urls are its primary key
+  * throughout, e.g. the per-url upsert in docker/3_Add_Wikidata_to_AstraDB/
+  * run.py) to the messy-url reality of an open crawl.
+  *
+  * The fixture corpus carries no url column, so [[withRawUrls]] derives a
+  * deterministic messy url per document (mixed-case scheme/host, www
+  * prefix, default :443 port, `utm_x` and `ref` tracking params in every
+  * position, fragments — all keyed off doc_id so the DuckDB oracle rebuilds
+  * the SAME strings and replays the canonicalizer rule-for-rule).
+  *
+  * 100 TB shape: the canonicalizer is a chain of codegen'd regexp_replace
+  * columns — one narrow projection over the scan, zero shuffles; the host
+  * rollup shuffles only (host, canon_url) scalar pairs. Every regex is
+  * written to the Java∩RE2 common dialect (no lookahead/backrefs in the
+  * PATTERN) so the oracle replays it exactly.
+  */
+object UrlOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic messy raw url for a document row (pure function of
+    * doc_id/source/lang — the oracle mirrors it verbatim). */
+  def rawUrl(docId: Column, source: Column, lang: Column): Column = {
+    val id = docId.cast("string")
+    val scheme = when(docId % 2 === 0, "HTTPS").otherwise("https")
+    val www = when(docId % 3 === 0, "WWW.").otherwise("")
+    val port = when(docId % 5 === 0, ":443").otherwise("")
+    val host = concat(lit("Host"), (docId % 13).cast("string"), lit(".Example.com"))
+    val path = concat(lit("/"), source, lit("/doc/"), id)
+    val query = when(docId % 4 === 0,
+        concat(lit("?utm_source=feed&id="), id, lit("&utm_campaign=x")))
+      .when(docId % 4 === 1, concat(lit("?id="), id, lit("&ref="), lang))
+      .when(docId % 4 === 2, lit("?utm_medium=a"))
+      .otherwise(concat(lit("?id="), id))
+    val frag = when(docId % 7 === 0, concat(lit("#sec"), (docId % 5).cast("string")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), www, host, port, path, query, frag)
+  }
+
+  /** Canonical form of a url: lowercase scheme+authority, default ports
+    * stripped, leading `www.` stripped, fragment dropped, `utm_*`/`ref`
+    * tracking params removed (with the first surviving param re-anchored to
+    * `?`), dangling separators trimmed. Idempotent (spec-pinned).
+    *
+    * The tracking-param pass removes each `[?&]param=value` span globally,
+    * then repairs the one case that leaves the query dangling — a leading
+    * `&` where the `?` used to be. No fixpoint loop is needed: every rule's
+    * output contains no new match for any earlier rule.
+    */
+  def canonicalize(url: Column): Column = {
+    // 1. lowercase scheme://authority (everything before the first /?#)
+    val lowered = concat(
+      lower(regexp_extract(url, "^([^/?#]*://[^/?#]*)", 1)),
+      regexp_replace(url, "^[^/?#]*://[^/?#]*", ""))
+    // 2. default ports ($2 = rest-of-url group; empty when non-participating)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/?#:]+):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/?#:]+):80([/?#].*)?$", "$1$2")
+    // 3. www prefix
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    // 4. fragment
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    // 5. tracking params, then re-anchor the first survivor to '?'
+    val noTrack = regexp_replace(noFrag, "[?&](utm_[a-z]+|ref)=[^&#]*", "")
+    val reAnchored = regexp_replace(noTrack, "^([^?&#]*)&", "$1?")
+    // 6. dangling separator when ALL params were tracking
+    regexp_replace(reAnchored, "[?&]$", "")
+  }
+
+  /** Registrable host of a canonical url. */
+  def hostOf(canon: Column): Column =
+    regexp_extract(canon, "^[a-z]+://([^/?#]+)", 1)
+
+  /** The documents frame extended with its deterministic raw url. */
+  def withRawUrls(documents: DataFrame): DataFrame =
+    documents.withColumn("raw_url",
+      rawUrl(col("doc_id"), col("source"), col("lang")))
+
+  /** w1: per-document url canonicalization — raw, canonical, host. */
+  def w1UrlCanon(spark: SparkSession, dir: String): DataFrame =
+    w1Frame(docs(spark, dir))
+
+  /** [[w1UrlCanon]] over any (doc_id, source, lang) frame. */
+  def w1Frame(documents: DataFrame): DataFrame =
+    withRawUrls(documents).select(
+      col("doc_id"),
+      col("raw_url"),
+      canonicalize(col("raw_url")).as("canon_url"))
+      .withColumn("host", hostOf(col("canon_url")))
+
+  /** w2: host-level rollup over canonical urls — doc count and distinct
+    * canonical urls per host (the crawl-frontier / politeness view). */
+  def w2HostStats(spark: SparkSession, dir: String): DataFrame =
+    w1Frame(docs(spark, dir))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("canon_url")).as("n_unique_urls"))
+}

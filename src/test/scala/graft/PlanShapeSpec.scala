@@ -187,6 +187,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "IVF must not plan a cartesian product")
   }
 
+  test("d11: repetition signals are ONE narrow projection — no Exchange anywhere") {
+    val p = planOf("d11_repetition")
+    assert(!p.contains("Exchange"),
+      "per-doc repetition signals must never shuffle\n" + p.take(1500))
+    assert(!p.contains("Generate"), "no explode — grams stay inside the row")
+  }
+
+  test("d12: eval-gram set broadcasts; the corpus grams never sort-merge") {
+    val p = planOf("d12_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not shuffle its grams into a sort-merge join\n" + p.take(1500))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "per-doc count must partial-aggregate map-side")
+  }
+
+  test("w1: url canonicalization is ONE narrow projection — no Exchange, no UDF") {
+    val p = planOf("w1_url_canon")
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"))
+  }
+
   test("kg19: digests are projected BEFORE the per-url shuffle (bodies never move)") {
     val spark2 = spark
     import spark2.implicits._

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the Gopher-style repetition signals (d11) and the eval-set
+  * n-gram decontamination (d12). The DuckDB oracle checks bit-parity on the
+  * full corpus; these pin the DEFINITIONS on planted documents and a seeded
+  * property check of the sorted-run max-multiplicity expression.
+  */
+class TextQualitySpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def signals(texts: (Long, String)*): Map[Long, (Int, Double, Double, Double, Boolean)] =
+    TextAnalysis.d11Frame(texts.toDF("doc_id", "text"))
+      .as[(Long, Int, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("d11: planted repetition — fractions match hand computation") {
+    val got = signals(
+      1L -> "a a a a",            // 4 words 1 distinct; 2-grams all "a a"; 3-grams dup
+      2L -> "w x y z",            // all distinct
+      3L -> "",                   // empty
+      4L -> "solo",               // 1 word: no n-grams at all
+      5L -> "p q p q p q p q")    // alternating: top 2-gram "p q" 4 of 7
+    assert(got(1L) == ((4, 0.75, 1.0, 0.5, true)))
+    val (n2, dw2, t2, d3, _) = got(2L)
+    assert(n2 == 4 && dw2 == 0.0 && t2 == 1.0 / 3.0 && d3 == 0.0)
+    assert(got(3L) == ((0, 0.0, 0.0, 0.0, false)))
+    assert(got(4L) == ((1, 0.0, 0.0, 0.0, false)))
+    val (n5, dw5, t5, dd5, rep5) = got(5L)
+    assert(n5 == 8 && dw5 == 0.75 && t5 == 4.0 / 7.0)
+    assert(dd5 == 4.0 / 6.0 && rep5) // 3-grams: pqp x3 + qpq x3 distinct 2 of 6
+  }
+
+  test("d11: max-multiplicity sorted-run expression == scala groupBy count (seeded property)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (0L until 60L).map { i =>
+      val len = rnd.nextInt(12) // includes 0- and 1-word docs
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = signals(docs: _*)
+    docs.foreach { case (id, text) =>
+      val w = if (text.trim.isEmpty) Seq.empty[String] else text.trim.split("\\s+").toSeq
+      val g2 = w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val g3 = w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      def frac(a: Int, b: Int) = if (b == 0) 0.0 else a.toDouble / b.toDouble
+      val exp = (
+        w.size,
+        frac(w.size - w.distinct.size, w.size),
+        frac(if (g2.isEmpty) 0 else g2.groupBy(identity).values.map(_.size).max, g2.size),
+        frac(g3.size - g3.distinct.size, g3.size))
+      val (nw, dw, t2, d3, _) = got(id)
+      assert((nw, dw, t2, d3) == exp, s"doc $id '$text'")
+    }
+  }
+
+  test("d12: training docs sharing an n-gram with the eval slice are flagged; eval docs never emit") {
+    // doc_id 3 is the eval doc (3 % 97 == 3)
+    val out = TextAnalysis.d12Frame(Seq(
+      3L -> "alpha beta gamma delta",       // eval: grams {abg, bgd}
+      10L -> "zz alpha beta gamma yy",      // shares "alpha beta gamma"
+      20L -> "nothing in common here at all",
+      30L -> "alpha beta gamma delta"       // exact dup of eval: shares both
+    ).toDF("doc_id", "text"), n = 3)
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(10L, 30L))
+    assert(out(10L) == ((10L, 3, 1L, 1.0 / 3.0)))
+    assert(out(30L) == ((30L, 2, 2L, 1.0)))
+  }
+
+  test("d12: repeated n-grams inside one doc count once (distinct-gram contract)") {
+    val out = TextAnalysis.d12Frame(Seq(
+      3L -> "x y z",
+      10L -> "x y z a x y z b x y z"      // "x y z" appears 3 times, counts once
+    ).toDF("doc_id", "text"), n = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.toSeq == Seq((10L, 7, 1L, 1.0 / 7.0)))
+  }
+}

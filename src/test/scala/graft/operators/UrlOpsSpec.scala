@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Canonicalizer semantics on planted messy urls + idempotency over the
+  * generated corpus. The DuckDB oracle independently replays every rule on
+  * the full corpus (w1/w2); these pin the rule DEFINITIONS on adversarial
+  * cases the deterministic generator does not produce.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] = {
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    df.select(org.apache.spark.sql.functions.col("doc_id"),
+        UrlOps.canonicalize(org.apache.spark.sql.functions.col("url")).as("c"))
+      .as[(Long, String)].collect().sortBy(_._1).map(_._2).toSeq
+  }
+
+  test("canonicalize: case, port, www, fragment, tracking params") {
+    val got = canon(
+      "HTTPS://WWW.Site.COM:443/A/b?utm_source=x&id=9&utm_campaign=y#frag",
+      "http://site.com:80/path",
+      "https://site.com:8443/keep-nondefault-port",
+      "https://a.com/p?utm_a=1&utm_b=2&id=3",       // consecutive tracking params
+      "https://a.com/p?id=5&ref=mail",              // trailing tracking param
+      "https://a.com/p?utm_only=1",                 // query vanishes entirely
+      "https://a.com/p?href=x&preference=1",        // href/preference are NOT ref/utm
+      "https://a.com/p#only-frag")
+    assert(got == Seq(
+      "https://site.com/A/b?id=9",                  // path case preserved
+      "http://site.com/path",
+      "https://site.com:8443/keep-nondefault-port", // non-default port kept
+      "https://a.com/p?id=3",
+      "https://a.com/p?id=5",
+      "https://a.com/p",
+      "https://a.com/p?href=x&preference=1",
+      "https://a.com/p"))
+  }
+
+  test("canonicalize is idempotent over the generated corpus") {
+    val w1 = UrlOps.w1Frame(
+      spark.read.parquet("/root/testdata/sf0.01/documents.parquet"))
+    val twice = w1.select(
+      org.apache.spark.sql.functions.col("canon_url"),
+      UrlOps.canonicalize(org.apache.spark.sql.functions.col("canon_url")).as("c2"))
+    assert(twice.filter("canon_url <> c2").count() == 0)
+  }
+
+  test("w2 host rollup: every doc lands in exactly one of the 13 hosts") {
+    val w2 = UrlOps.w2HostStats(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long)].collect()
+    assert(w2.length == 13)
+    assert(w2.map(_._2).sum == 500)
+    w2.foreach { case (h, n, u) =>
+      assert(h.matches("host\\d+\\.example\\.com"))
+      assert(u <= n && u > 0)
+    }
+  }
+}
