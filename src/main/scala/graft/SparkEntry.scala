@@ -72,12 +72,18 @@ object SparkEntry {
     "w1_url_canon" -> (UrlOps.w1UrlCanon _),
     // host rollup over canonical urls: scalar (host, canon) pairs shuffle
     "w2_host_stats" -> (UrlOps.w2HostStats _),
+    // host-level quality blocklist: signals + host in ONE narrow projection,
+    // a single scalar groupBy — no document/url self-join
+    "w3_host_quality" -> (UrlOps.w3HostQuality _),
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dd3_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardExact(s, d)),
     // incremental ingestion dedup: new batch vs corpus + within-batch,
     // corpus x corpus never pairs (batch filter pushed to the scan)
     "dd4_minhash_incremental" -> (Dedup.minhashLshIncrementalDocs _),
+    // dedup APPLICATION: LSH pairs → connected components → keeper election;
+    // kept=false rows are the delete list
+    "dd5_dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     // similarity search / ANN
     "s1_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -245,6 +251,47 @@ object SparkEntry {
        |c5 AS (SELECT doc_id, raw_url, regexp_replace(u, '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g') AS u FROM c4),
        |c6 AS (SELECT doc_id, raw_url, regexp_replace(u, '^([^?&#]*)&', '\\1?') AS u FROM c5),
        |c7 AS (SELECT doc_id, raw_url, regexp_replace(u, '[?&]$$', '') AS canon_url FROM c6)
+       |$finalSelect""".stripMargin
+
+  /** dd1/dd4/dd5 oracle scaffold: the shared MinHash-signature + LSH-banding
+    * replay (md5-derived Kirsch–Mitzenmacher hashes, 16 hashes × 4 bands)
+    * ending in `est(a, b, est_jaccard)`; callers append extra CTEs (must
+    * start with ",") and the final SELECT. `recursive = true` for callers
+    * whose extra CTEs are recursive (DuckDB requires the RECURSIVE keyword
+    * on the WITH head).
+    */
+  private def minhashLshSql(extraCtes: String, finalSelect: String,
+                            recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+       |    i -> array_to_string(words[i:i+2], ' '))) AS s
+       |  FROM w WHERE len(words) >= 3),
+       |hp AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h1,
+       |    CAST('0x' || substring(md5(g), 16, 8) AS BIGINT) AS h2
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+       |mh AS (
+       |  SELECT doc_id, ii.i, min(h1 + ii.i * h2) AS h
+       |  FROM hp CROSS JOIN range(16) ii(i)
+       |  GROUP BY doc_id, ii.i),
+       |bk AS (
+       |  SELECT doc_id, i // 4 AS band, string_agg(h, ',' ORDER BY i) AS bkey
+       |  FROM mh GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+       |    AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT c.a, c.b,
+       |    sum(CASE WHEN xa.h = xb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN mh xa ON xa.doc_id = c.a
+       |  JOIN mh xb ON xb.doc_id = c.b AND xb.i = xa.i
+       |  GROUP BY c.a, c.b)$extraCtes
        |$finalSelect""".stripMargin
 
   /** kg15 oracle: PageRank's ten iterations UNROLLED as chained CTEs (a
@@ -641,75 +688,50 @@ object SparkEntry {
       "SELECT regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host, " +
         "count(*) AS n_docs, count(DISTINCT canon_url) AS n_unique_urls " +
         "FROM c7 GROUP BY 1"),
-    "dd1_minhash_lsh" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS s
-        |  FROM w WHERE len(words) >= 3),
-        |hp AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h1,
-        |    CAST('0x' || substring(md5(g), 16, 8) AS BIGINT) AS h2
-        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
-        |mh AS (
-        |  SELECT doc_id, ii.i, min(h1 + ii.i * h2) AS h
-        |  FROM hp CROSS JOIN range(16) ii(i)
-        |  GROUP BY doc_id, ii.i),
-        |bk AS (
-        |  SELECT doc_id, i // 4 AS band, string_agg(h, ',' ORDER BY i) AS bkey
-        |  FROM mh GROUP BY doc_id, band),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
-        |    AND x.doc_id < y.doc_id),
-        |est AS (
-        |  SELECT c.a, c.b,
-        |    sum(CASE WHEN xa.h = xb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-        |  FROM cand c
-        |  JOIN mh xa ON xa.doc_id = c.a
-        |  JOIN mh xb ON xb.doc_id = c.b AND xb.i = xa.i
-        |  GROUP BY c.a, c.b)
-        |SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin,
+    // w3: the oracle joins the canonical urls back to documents for the d5
+    // signals (the engine computes both in one projection — same result);
+    // bad/blocked predicates are integer cross-multiplications, bad_frac
+    // divides exact integers, sum() is HUGEINT in DuckDB → CAST
+    "w3_host_quality" -> urlCanonSql(
+      """SELECT host, n_docs, n_bad,
+        |  CAST(n_bad AS DOUBLE) / CAST(n_docs AS DOUBLE) AS bad_frac,
+        |  (n_bad * 4 > n_docs) AS blocked
+        |FROM (
+        |  SELECT regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |    count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN
+        |      (CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END) < 5
+        |      OR (length(d.text) - length(regexp_replace(d.text, '[.,;:!?]', '', 'g'))) * 10 > length(d.text)
+        |      OR (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g'))) * 5 > length(d.text)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        |  FROM c7 JOIN documents d USING (doc_id)
+        |  GROUP BY 1)""".stripMargin),
+    "dd1_minhash_lsh" -> minhashLshSql("",
+      "SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5"),
     // dd4: incremental dedup == exactly the dd1 pairs that involve >= 1
     // batch doc (a < b, so b >= split); the split point is the same bounded
     // floor(max*0.8) scalar the engine computes
-    "dd4_minhash_incremental" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
-        |    i -> array_to_string(words[i:i+2], ' '))) AS s
-        |  FROM w WHERE len(words) >= 3),
-        |hp AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h1,
-        |    CAST('0x' || substring(md5(g), 16, 8) AS BIGINT) AS h2
-        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
-        |mh AS (
-        |  SELECT doc_id, ii.i, min(h1 + ii.i * h2) AS h
-        |  FROM hp CROSS JOIN range(16) ii(i)
-        |  GROUP BY doc_id, ii.i),
-        |bk AS (
-        |  SELECT doc_id, i // 4 AS band, string_agg(h, ',' ORDER BY i) AS bkey
-        |  FROM mh GROUP BY doc_id, band),
-        |split AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS s FROM documents),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
-        |    AND x.doc_id < y.doc_id),
-        |est AS (
-        |  SELECT c.a, c.b,
-        |    sum(CASE WHEN xa.h = xb.h THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-        |  FROM cand c
-        |  JOIN mh xa ON xa.doc_id = c.a
-        |  JOIN mh xb ON xb.doc_id = c.b AND xb.i = xa.i
-        |  GROUP BY c.a, c.b)
-        |SELECT a, b, est_jaccard FROM est, split
-        |WHERE est_jaccard >= 0.5 AND b >= split.s""".stripMargin,
+    "dd4_minhash_incremental" -> minhashLshSql(
+      ",\nsplit AS (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS s FROM documents)",
+      """SELECT a, b, est_jaccard FROM est, split
+        |WHERE est_jaccard >= 0.5 AND b >= split.s""".stripMargin),
+    // dd5: the oracle re-derives the dd1 survivor pairs, then computes the
+    // components INDEPENDENTLY via a recursive transitive-closure CTE (the
+    // kg5 pattern) — min id per reachability set = the engine's iterated
+    // min-label fixpoint — and replays the keeper election
+    "dd5_dedup_apply" -> minhashLshSql(
+      """,
+        |p AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+        |sym AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |n AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id AS r FROM n
+        |  UNION
+        |  SELECT reach.id, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src)""".stripMargin,
+      """SELECT id AS doc_id, min(r) AS canon_id, (id = min(r)) AS kept
+        |FROM reach GROUP BY id""".stripMargin,
+      recursive = true),
     "dd2_simhash_neardup" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, t FROM (

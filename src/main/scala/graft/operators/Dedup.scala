@@ -323,6 +323,38 @@ object Dedup {
       .select(col("a"), col("b"), round(col("_raw"), 6).as("jaccard"))
   }
 
+  /** dd5: dedup APPLICATION — turn the MinHash/LSH candidate PAIRS into an
+    * actionable per-document verdict: cluster the pairs with connected
+    * components, elect the min-doc_id of each cluster as its canonical
+    * keeper, and emit (doc_id, canon_id, kept) for every document touched
+    * by a duplicate pair. `kept = false` rows are exactly the delete list a
+    * curation pipeline applies; the surviving corpus is an anti-join of
+    * `documents` against them. Pairs alone never deduplicate anything —
+    * transitivity matters (A~B, B~C must keep ONE of three even when A~C
+    * was never a candidate pair), which is why the group step is components,
+    * not a pair-wise argmin.
+    *
+    * 100 TB shape: the pair stream is the already-pruned LSH survivor set
+    * (orders of magnitude smaller than the corpus); components iterate over
+    * (id, label) scalars only with per-round checkpoint truncation
+    * ([[graft.canon.ConnectedComponents.run]], reliable-checkpoint option
+    * for real clusters); the verdict is a projection of the assignment. The
+    * corpus itself is never touched past signature extraction.
+    */
+  def dedupApply(spark: SparkSession, dir: String, numHashes: Int = 16,
+                 bands: Int = 4, threshold: Double = 0.5,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = minhashLsh(spark, dir, numHashes, bands, threshold)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val noExtraNodes = spark.range(0).select(col("id"))
+    graft.canon.ConnectedComponents
+      .run(spark, edges, noExtraNodes, checkpointDir = checkpointDir)
+      .select(
+        col("id").as("doc_id"),
+        col("component").as("canon_id"),
+        (col("id") === col("component")).as("kept"))
+  }
+
   /** Exact n-gram Jaccard re-check for minhash LSH candidates only. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val cands = minhashLsh(spark, dir, threshold = 0.2).select("a", "b")

@@ -209,12 +209,25 @@ object TextAnalysis {
   /** [[d12Decontaminate]] over any (doc_id, text) frame. */
   def d12Frame(documents: DataFrame, n: Int): DataFrame = {
     val isEval = col("doc_id") % 97 === 3
-    val grams = documents.select(
-      col("doc_id"),
-      array_distinct(gramsCol(wordsCol(col("text")), n)).as("grams"))
+    // stage `w` through its own projection (the d11Frame pattern): passing
+    // wordsCol(...) straight into gramsCol inlines the split kernel once per
+    // element_at — a ~10×-duplicated expression tree that costs ~2s of
+    // analysis+codegen per plan. CollapseProject keeps the stage because `w`
+    // is non-cheap and multiply-referenced.
+    val grams = documents
+      .select(col("doc_id"), wordsCol(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        array_distinct(gramsCol(col("w"), n)).as("grams"))
+    // explode_OUTER on purpose: a plain explode makes the optimizer infer
+    // `size(grams) > 0 AND isnotnull(grams)` and push both below the gram
+    // projection with the full split/transform kernel SUBSTITUTED — the
+    // expensive expression then evaluates 3-4× per row inside the scan
+    // filter. Outer explode infers nothing; the null gram a gram-less doc
+    // emits is dropped by the inner join (eval side also distincts it away).
     val exploded = grams.select(
       col("doc_id"), size(col("grams")).as("n_grams"),
-      explode(col("grams")).as("gram"))
+      explode_outer(col("grams")).as("gram"))
     val evalGrams = exploded.filter(isEval).select("gram").distinct()
     exploded.filter(!isEval)
       .join(broadcast(evalGrams), Seq("gram"))

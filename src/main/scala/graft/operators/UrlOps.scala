@@ -106,4 +106,46 @@ object UrlOps {
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("canon_url")).as("n_unique_urls"))
+
+  /** w3: host-level quality rollup + blocklist verdict (the C4/RefinedWeb
+    * domain-filter step): score each document with the d5 quality signals,
+    * call it bad when it is token-starved or punctuation/digit-heavy, and
+    * block a host when over a quarter of its documents are bad. The bad-doc
+    * and blocked predicates are written in cross-multiplied INTEGER form
+    * (`10*n_punct > n_char`, `4*n_bad > n_docs`) so no rounding is involved
+    * anywhere; `bad_frac` divides two exact integers, which IEEE doubles
+    * reproduce bit-for-bit in any engine.
+    *
+    * 100 TB shape: host extraction and the quality signals are computed in
+    * the SAME narrow projection over the scan (no self-join of documents
+    * with their own urls), then ONE scalar-only groupBy(host) with map-side
+    * partial aggregation — a host holding 10% of the crawl contributes one
+    * partial row per task, not 10% of the shuffle (plan-pinned: exactly one
+    * Exchange, no join).
+    */
+  def w3HostQuality(spark: SparkSession, dir: String): DataFrame =
+    w3Frame(docs(spark, dir))
+
+  /** [[w3HostQuality]] over any (doc_id, source, lang, text) frame. */
+  def w3Frame(documents: DataFrame): DataFrame = {
+    val nChar = length(col("text"))
+    val nTokens = when(length(trim(col("text"))) === 0, 0)
+      .otherwise(size(split(trim(col("text")), "\\s+")))
+    val nPunct = nChar - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    val nDigit = nChar - length(regexp_replace(col("text"), "[0-9]", ""))
+    val bad = nTokens < 5 || nPunct * 10 > nChar || nDigit * 5 > nChar
+    documents
+      .select(
+        hostOf(canonicalize(rawUrl(col("doc_id"), col("source"), col("lang"))))
+          .as("host"),
+        bad.cast("long").as("is_bad"))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_bad")).as("n_bad"))
+      .select(
+        col("host"), col("n_docs"), col("n_bad"),
+        (col("n_bad").cast("double") / col("n_docs").cast("double")).as("bad_frac"),
+        (col("n_bad") * 4 > col("n_docs")).as("blocked"))
+  }
 }

@@ -203,10 +203,31 @@ class PlanShapeSpec extends AnyFunSuite {
       "per-doc count must partial-aggregate map-side")
   }
 
+  test("d12: the gram kernel evaluates ONCE per branch — never inside a Filter") {
+    // a plain (non-outer) explode makes the optimizer infer size/isnotnull
+    // filters and push them below the gram projection with the kernel
+    // substituted → 3-4× the per-row CPU at scale; pin the explode_outer fix
+    val p = planOf("d12_decontaminate")
+    assert("array_distinct\\(transform".r.findAllIn(p).size <= 2,
+      "gram kernel must appear at most once per branch (corpus + eval)\n" + p.take(1500))
+    assert(!p.linesIterator.filter(_.contains("Condition")).exists(_.contains("transform(")),
+      "no Filter condition may re-evaluate the gram kernel")
+  }
+
   test("w1: url canonicalization is ONE narrow projection — no Exchange, no UDF") {
     val p = planOf("w1_url_canon")
     assert(!p.contains("Exchange"), p.take(1200))
     assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"))
+  }
+
+  test("w3: host quality is one projection + one scalar groupBy — no self-join") {
+    val p = planOf("w3_host_quality")
+    // count operator-detail headers — the tree summary repeats each name
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      "exactly the groupBy(host) shuffle, nothing else\n" + p.take(1500))
+    assert(!p.contains("Join"), "signals + host computed in one projection, no join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "host rollup must partial-aggregate map-side (skewed hosts)")
   }
 
   test("kg19: digests are projected BEFORE the per-url shuffle (bodies never move)") {

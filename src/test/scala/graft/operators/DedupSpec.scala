@@ -164,4 +164,35 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(c1 == c2 && c1.size == 16)
   }
+
+  test("dedup apply: verdicts == union-find over the LSH pairs, keeper = min id") {
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty) // planted dupes must produce clusters to check
+    // independent reference: plain union-find with path compression
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(id => id -> find(id)).toMap
+    val got = Dedup.dedupApply(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, canon, kept) => id -> ((canon, kept)) }.toMap
+    assert(got.keySet == expected.keySet,
+      "every doc touched by a pair gets exactly one verdict row")
+    expected.foreach { case (id, root) =>
+      assert(got(id) == ((root, id == root)), s"doc $id")
+    }
+    // exactly one keeper per cluster, and it is the min id
+    val byCluster = got.groupBy(_._2._1)
+    byCluster.foreach { case (canon, members) =>
+      assert(members.count(_._2._2) == 1 && members(canon)._2)
+      assert(canon == members.keys.min)
+    }
+  }
 }

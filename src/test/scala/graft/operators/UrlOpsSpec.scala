@@ -50,6 +50,23 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(twice.filter("canon_url <> c2").count() == 0)
   }
 
+  test("w3 host quality: planted bad docs flip their host's blocked verdict") {
+    // host is doc_id % 13 of the generated url; plant all-bad docs on host 1
+    // (token-starved), mixed docs on host 2 (1 bad of 4 → not blocked)
+    val docs = (Seq(
+      (1L, "one two", "en", "s"), (14L, "x", "en", "s"),          // host 1: 2/2 bad
+      (2L, "a clean document with plenty of words here", "en", "s"),
+      (15L, "another perfectly ordinary sentence of words", "en", "s"),
+      (28L, "more regular prose keeps this host healthy", "en", "s"),
+      (41L, "1234567890 99 88", "en", "s")) // host 2: 1/4 bad (digit-heavy)
+      ).toDF("doc_id", "text", "lang", "source")
+    val got = UrlOps.w3Frame(docs)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("host1.example.com") == (("host1.example.com", 2L, 2L, 1.0, true)))
+    assert(got("host2.example.com") == (("host2.example.com", 4L, 1L, 0.25, false)))
+  }
+
   test("w2 host rollup: every doc lands in exactly one of the 13 hosts") {
     val w2 = UrlOps.w2HostStats(spark, "/root/testdata/sf0.01")
       .as[(String, Long, Long)].collect()
