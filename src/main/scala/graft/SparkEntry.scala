@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T, UrlOps}
+import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, Mixture, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,9 @@ object SparkEntry {
     // eval-set n-gram decontamination: the distinct eval-gram set broadcasts,
     // the corpus side's grams never shuffle (plan-pinned broadcast join)
     "d12_decontaminate" -> ((s, d) => T.d12Decontaminate(s, d)),
+    // token-budget mixture sampling: distributed two-pass prefix sum, NOT
+    // the one-partition-per-stratum window (spec pins bit-identity to it)
+    "d13_token_budget" -> (Mixture.d13TokenBudget _),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -75,6 +78,9 @@ object SparkEntry {
     // host-level quality blocklist: signals + host in ONE narrow projection,
     // a single scalar groupBy — no document/url self-join
     "w3_host_quality" -> (UrlOps.w3HostQuality _),
+    // per-host boilerplate gram: argmax as min(struct(-c, gram)) aggregate,
+    // no per-host window partition
+    "w4_host_boilerplate" -> (UrlOps.w4HostBoilerplate _),
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dd3_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardExact(s, d)),
@@ -678,6 +684,25 @@ object SparkEntry {
         |FROM x JOIN ev USING (gram)
         |WHERE doc_id % 97 <> 3
         |GROUP BY doc_id, n_grams""".stripMargin,
+    // d13: the oracle replays the budget cut as the per-stratum running-
+    // total window over the 60-bit md5 order (the engine computes the SAME
+    // cumulative sums with a distributed two-pass prefix sum — the window
+    // form would execute one partition per stratum at scale); strict-prefix
+    // semantics: the budget-crossing doc and everything after it drop
+    "d13_token_budget" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM b)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 3000
+        |                         WHEN lang = 'de' THEN 1500 ELSE 800 END""".stripMargin,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)
@@ -707,6 +732,40 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
         |  FROM c7 JOIN documents d USING (doc_id)
         |  GROUP BY 1)""".stripMargin),
+    // w4: the oracle rebuilds host + distinct 3-grams per doc, counts
+    // document frequency relationally, and picks the per-host winner with a
+    // row_number window (count DESC, gram ASC — the engine's min(struct)
+    // argmax tie-break); hosts whose docs are all too short for a 3-gram
+    // drop out of both engines via the inner join
+    "w4_host_boilerplate" -> urlCanonSql(
+      """,
+        |d AS (
+        |  SELECT c7.doc_id,
+        |    regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host, dd.text
+        |  FROM c7 JOIN documents dd USING (doc_id)),
+        |wd AS (
+        |  SELECT doc_id, host,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, host,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+        |  FROM wd),
+        |n AS (SELECT host, count(*) AS n_docs FROM g GROUP BY 1),
+        |cnt AS (
+        |  SELECT host, gram, count(*) AS c
+        |  FROM (SELECT host, unnest(grams) AS gram FROM g)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT host, gram AS top_gram, c AS n_docs_with_gram,
+        |    row_number() OVER (PARTITION BY host ORDER BY c DESC, gram ASC) AS rn
+        |  FROM cnt)
+        |SELECT n.host, top_gram, n_docs_with_gram, n_docs,
+        |  CAST(n_docs_with_gram AS DOUBLE) / CAST(n_docs AS DOUBLE) AS df_share,
+        |  (n_docs_with_gram * 2 > n_docs) AS boilerplate
+        |FROM top JOIN n USING (host) WHERE rn = 1""".stripMargin),
     "dd1_minhash_lsh" -> minhashLshSql("",
       "SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5"),
     // dd4: incremental dedup == exactly the dd1 pairs that involve >= 1

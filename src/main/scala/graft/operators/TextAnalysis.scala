@@ -108,7 +108,7 @@ object TextAnalysis {
   }
 
   /** Whitespace word array as a pure Column (empty array for blank text). */
-  private def wordsCol(text: Column): Column =
+  private[operators] def wordsCol(text: Column): Column =
     when(length(trim(text)) === 0, typedLit(Seq.empty[String]))
       .otherwise(split(trim(text), "\\s+"))
 
@@ -117,7 +117,7 @@ object TextAnalysis {
     * shorter than n yield an empty array (Spark's `sequence(1, 0)` would
     * otherwise count DOWN and index out of range).
     */
-  private def gramsCol(w: Column, n: Int): Column =
+  private[operators] def gramsCol(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))

@@ -126,6 +126,55 @@ object UrlOps {
   def w3HostQuality(spark: SparkSession, dir: String): DataFrame =
     w3Frame(docs(spark, dir))
 
+  /** w4: per-host boilerplate detection — the template-removal signal of a
+    * web pipeline: for each host, the word 3-gram present in the largest
+    * number of its documents (document frequency, each doc counts a gram
+    * once) and the share of the host's docs carrying it. A navigation bar /
+    * footer template stamped on every page of a host surfaces as a gram
+    * with df_share near 1.0; `boilerplate` fires when a strict majority of
+    * the host's docs share the gram.
+    *
+    * 100 TB shape: grams are built in-row (the d11/d12 higher-order
+    * kernel), the only wide ops are the (host, gram) count — whose partial
+    * aggregation collapses each task's repeats before the shuffle — and a
+    * host-keyed argmax done as `min(struct(-count, gram))`, a plain
+    * aggregate: NO per-host window, so a host with millions of distinct
+    * grams never funnels through one partition. Ties break to the
+    * lexicographically smallest gram on both engines.
+    */
+  def w4HostBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    w4Frame(docs(spark, dir))
+
+  /** [[w4HostBoilerplate]] over any (doc_id, source, lang, text) frame. */
+  def w4Frame(documents: DataFrame): DataFrame = {
+    val base = documents.select(
+      hostOf(canonicalize(rawUrl(col("doc_id"), col("source"), col("lang"))))
+        .as("host"),
+      TextAnalysis.wordsCol(col("text")).as("w"))
+    val grams = base.select(
+      col("host"),
+      array_distinct(TextAnalysis.gramsCol(col("w"), 3)).as("grams"))
+    val hostTotals = grams.groupBy("host").agg(count(lit(1)).as("n_docs"))
+    // explode_outer + null filter: a plain explode would make the optimizer
+    // push inferred size/isnotnull filters below the gram projection with
+    // the kernel substituted (the d12 lesson, plan-pinned there)
+    val counts = grams
+      .select(col("host"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy("host", "gram")
+      .agg(count(lit(1)).as("c"))
+    val top = counts
+      .groupBy("host")
+      .agg(min(struct((-col("c")).as("negc"), col("gram").as("g"))).as("m"))
+      .select(col("host"), col("m.g").as("top_gram"), (-col("m.negc")).as("n_docs_with_gram"))
+    top.join(hostTotals, Seq("host"))
+      .select(
+        col("host"), col("top_gram"), col("n_docs_with_gram"), col("n_docs"),
+        (col("n_docs_with_gram").cast("double") / col("n_docs").cast("double"))
+          .as("df_share"),
+        (col("n_docs_with_gram") * 2 > col("n_docs")).as("boilerplate"))
+  }
+
   /** [[w3HostQuality]] over any (doc_id, source, lang, text) frame. */
   def w3Frame(documents: DataFrame): DataFrame = {
     val nChar = length(col("text"))

@@ -67,6 +67,31 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got("host2.example.com") == (("host2.example.com", 4L, 1L, 0.25, false)))
   }
 
+  test("w4 boilerplate: a planted template gram wins its host; df counts docs once") {
+    val docs = (Seq(
+      // host 1: 3 of 4 docs stamped with a footer template (one repeats the
+      // gram twice in-doc — must still count ONCE toward df)
+      (1L, "alpha beta all rights reserved", "en", "s"),
+      (14L, "all rights reserved gamma all rights reserved", "en", "s"),
+      (27L, "delta epsilon all rights reserved zeta", "en", "s"),
+      (40L, "nothing shared here at all", "en", "s"),
+      // host 2: no repeated gram → argmax falls to lexicographic tie-break
+      (2L, "bbb ccc ddd", "en", "s"),
+      (15L, "aaa bbb zzz", "en", "s"),
+      // host 3: every doc too short for a 3-gram → host absent from output
+      (3L, "too short", "en", "s"), (16L, "also short", "en", "s"))
+      ).toDF("doc_id", "text", "lang", "source")
+    val got = UrlOps.w4Frame(docs)
+      .as[(String, String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("host1.example.com", "host2.example.com"))
+    assert(got("host1.example.com") ==
+      (("host1.example.com", "all rights reserved", 3L, 4L, 0.75, true)))
+    // host 2: all grams df=1; smallest gram lexicographically wins
+    val (_, g2, c2, n2, _, b2) = got("host2.example.com")
+    assert(g2 == "aaa bbb zzz" && c2 == 1L && n2 == 2L && !b2)
+  }
+
   test("w2 host rollup: every doc lands in exactly one of the 13 hosts") {
     val w2 = UrlOps.w2HostStats(spark, "/root/testdata/sf0.01")
       .as[(String, Long, Long)].collect()
