@@ -58,8 +58,12 @@ object Bench {
     }
     val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (best.nonEmpty) best.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds}""")
+    // a query failing every round keeps its -1 marker in `queries` but must
+    // not be SUMMED into the total (it would silently shrink it); surface
+    // the failures as their own field instead
+    val failed = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = best.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds,"failed":${failed.mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

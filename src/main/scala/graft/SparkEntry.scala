@@ -254,9 +254,15 @@ object SparkEntry {
        |                 '^(http://[^/?#:]+):80([/?#].*)?$$', '\\1\\2') AS u FROM c1),
        |c3 AS (SELECT doc_id, raw_url, regexp_replace(u, '^(https?://)www\\.', '\\1') AS u FROM c2),
        |c4 AS (SELECT doc_id, raw_url, regexp_replace(u, '#.*$$', '') AS u FROM c3),
-       |c5 AS (SELECT doc_id, raw_url, regexp_replace(u, '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g') AS u FROM c4),
-       |c6 AS (SELECT doc_id, raw_url, regexp_replace(u, '^([^?&#]*)&', '\\1?') AS u FROM c5),
-       |c7 AS (SELECT doc_id, raw_url, regexp_replace(u, '[?&]$$', '') AS canon_url FROM c6)
+       |c5 AS (SELECT doc_id, raw_url,
+       |  regexp_extract(u, '^([^?]*)', 1) AS base,
+       |  CASE WHEN strpos(u, '?') > 0
+       |       THEN regexp_replace(u, '^[^?]*\\?', '') ELSE '' END AS q FROM c4),
+       |c6 AS (SELECT doc_id, raw_url, base, q,
+       |  regexp_replace('&' || q, '&(utm_[a-z]+|ref)=[^&]*', '', 'g') AS qc FROM c5),
+       |c7 AS (SELECT doc_id, raw_url,
+       |  base || CASE WHEN q = '' THEN ''
+       |               ELSE regexp_replace(qc, '^&', '?') END AS canon_url FROM c6)
        |$finalSelect""".stripMargin
 
   /** dd1/dd4/dd5 oracle scaffold: the shared MinHash-signature + LSH-banding
@@ -1350,8 +1356,9 @@ object SparkEntry {
          |LEFT JOIN read_parquet('$OF/kg18_known_ids/*.parquet') k
          |  ON k.id = r.valueScalar
          |GROUP BY pid""".stripMargin,
-    // kg17: counts, pair weights, and the exact two-op double arithmetic
-    // (w::DOUBLE * n, then / (ca*cb)) recomputed from the materialized
+    // kg17: counts, pair weights, and the exact double arithmetic
+    // (w::DOUBLE * n, then / (ca::DOUBLE * cb::DOUBLE) — counts cast
+    // BEFORE multiplying, as the engine does) recomputed from the materialized
     // bipartite frame; ranked cut tie-broken on (a, b)
     "kg17_cooccur_lift" ->
       s"""WITH uq AS (
@@ -1364,7 +1371,7 @@ object SparkEntry {
          |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |l AS (
          |  SELECT pr.a, pr.b, pr.w,
-         |         CAST(pr.w AS DOUBLE) * nn.n / (ca.c * cb.c) AS lift
+         |         CAST(pr.w AS DOUBLE) * nn.n / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
          |  FROM pr CROSS JOIN nn
          |  JOIN dc ca ON ca.qid = pr.a JOIN dc cb ON cb.qid = pr.b)
          |SELECT a, b, w, lift FROM l ORDER BY lift DESC, a, b LIMIT 50""".stripMargin,

@@ -191,7 +191,12 @@ object ConnectedComponents {
       .join(if (broadcastRemap) broadcast(remap) else remap, Seq("component"), "left")
       .select(col("id"), coalesce(col("_merged"), col("component")).as("component"))
     if (!materializeResult) return out // caller owns assign/delta lifecycle
-    val materialized = out.localCheckpoint(true)
+    // route the FINAL (world-sized) materialization through the same
+    // durability choice as the CC rounds: with a checkpointDir the result
+    // survives executor loss; localCheckpoint would strand its lineage in
+    // executor block managers right after the reliable rounds paid for
+    // fault tolerance
+    val materialized = graft.tables.Checkpoints.eager(out, checkpointDir)
     assign.unpersist()
     delta.unpersist()
     materialized

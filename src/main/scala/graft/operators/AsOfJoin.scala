@@ -42,13 +42,16 @@ object AsOfJoin {
     // struct so the union needs no coercion
     val lType = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
     val rType = right.select(struct(rightCols.map(col): _*)).schema.head.dataType
-    val l = left.select(
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // SQL join semantics: a null key or time matches NOTHING, on either
+    // side. Null-key/time LEFT rows bypass the union/window entirely and
+    // are appended with a null payload at the end: routed through the
+    // window they would ALL hash to the single `_k = null` partition — a
+    // one-task straggler when e.g. 10% of an event stream is anonymous.
+    val lNull = left.filter(leftKey.isNull || leftTime.isNull)
+    val l = left.filter(leftKey.isNotNull && leftTime.isNotNull).select(
       leftKey.as("_k"), leftTime.cast("timestamp").as("_t"), lit(1).as("_tag"),
       struct(leftCols.map(col): _*).as("_l"), lit(null).cast(rType).as("_r"))
-    // SQL join semantics: a null key or time matches NOTHING. The window's
-    // partitionBy would otherwise group null keys TOGETHER (left null-key
-    // rows would see null-key right payloads), so drop them from the right
-    // side; null-key left rows stay (left-join) and match nothing.
     val r = right
       .filter(rightKey.isNotNull && rightTime.isNotNull)
       .select(
@@ -61,9 +64,13 @@ object AsOfJoin {
     val matched = u
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
-    matched.select(
+    val matchedOut = matched.select(
       leftCols.map(c => col(s"_l.$c").as(c)) ++
         rightCols.map(c => col(s"_m.$c").as(c)): _*)
+    val bypass = lNull.select(
+      leftCols.map(col) ++
+        rType.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    matchedOut.unionByName(bypass)
   }
 
   /** q20: each user event joined to the user's latest at-or-before order.

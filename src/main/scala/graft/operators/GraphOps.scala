@@ -120,7 +120,12 @@ object GraphOps {
       .join(docCounts.select(col("qid").as("a"), col("c").as("ca")), Seq("a"))
       .join(docCounts.select(col("qid").as("b"), col("c").as("cb")), Seq("b"))
       .select(col("a"), col("b"), col("w"),
-        (col("w").cast("double") * n / (col("ca") * col("cb"))).as("lift"))
+        // ca/cb cast to double BEFORE multiplying: the Long product wraps
+        // past 2^63 once both counts reach ~3e9 (possible at 10^12 pages);
+        // the double product is exact while < 2^53 and degrades gracefully
+        // beyond — the oracle mirrors the same cast order
+        (col("w").cast("double") * n /
+          (col("ca").cast("double") * col("cb").cast("double"))).as("lift"))
       .localCheckpoint(eager = true)
     uq.unpersist()
     out

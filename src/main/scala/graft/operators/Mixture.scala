@@ -55,13 +55,13 @@ object Mixture {
   val defaultBudgets: Map[String, Long] = Map("en" -> 3000L, "de" -> 1500L)
   val defaultBudgetOther: Long = 800L
 
-  /** 60-bit md5-derived order key — same construction as d8/d10 (DuckDB:
-    * `CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)`).
-    * doc_id breaks (astronomically rare, but at 10^12 docs possible) hash
-    * ties everywhere the order is consumed, so it is total on both engines.
+  /** 60-bit md5-derived order key — the d8/d10 [[Sketches.kmvHash]] recipe
+    * over the stringified id (DuckDB: `CAST('0x' || substring(md5(CAST(
+    * doc_id AS VARCHAR)), 1, 15) AS BIGINT)`). doc_id breaks
+    * (astronomically rare, but at 10^12 docs possible) hash ties everywhere
+    * the order is consumed, so it is total on both engines.
     */
-  private def orderHash = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-    .cast("long")
+  private def orderHash = Sketches.kmvHash(col("doc_id").cast("string"))
 
   private def budgetFor(budgets: Map[String, Long], other: Long)(lang: String): Long =
     budgets.getOrElse(lang, other)
@@ -107,8 +107,10 @@ object Mixture {
     // consuming the input, so their rows are never even pulled from the
     // scan (selection is a tiny hash-prefix at real scale: most of the
     // corpus lives in skippable partitions)
+    // <= not <: at off == budget a zero-token doc still satisfies
+    // `cum <= budget` and the window form keeps it — the partition must run
     val keepPids: Set[Int] = offsets.collect {
-      case ((pid, lang), off) if off < budgetFor(budgets, budgetOther)(lang) => pid
+      case ((pid, lang), off) if off <= budgetFor(budgets, budgetOther)(lang) => pid
     }.toSet
     val offB = spark.sparkContext.broadcast(offsets)
     val budB = spark.sparkContext.broadcast((budgets, budgetOther))

@@ -152,6 +152,8 @@ object Sketches {
         // agg inputs are non-nullable Longs; oracle filters identically
       .select(col("lang"), col("doc_id"), col("n_chars"),
         kmvHash(col("doc_id").cast("string")).as("h"))
+      .persist() // feeds BOTH the sampled and exact subtrees: scan + md5
+                 // hashing must run once, not once per consumer
 
     val sampled = docs.groupBy("lang")
       .agg(sampler(col("h"), col("doc_id"), col("n_chars")).as("sample"))
@@ -170,8 +172,11 @@ object Sketches {
         max(col("n")).as("n_docs"),
         max(when(expr("rn = (n - 1) div 2 + 1"), col("n_chars"))).as("exact_p50"),
         max(when(expr("rn = ((n - 1) * 9) div 10 + 1"), col("n_chars"))).as("exact_p90"))
-    exact.join(sampled, Seq("lang"))
+    val out = exact.join(sampled, Seq("lang"))
       .select("lang", "n_docs", "m", "est_p50", "est_p90", "exact_p50", "exact_p90")
+      .localCheckpoint(true)
+    docs.unpersist()
+    out
   }
 
   /** Count-Min bucket for hash row `r`: first 32 md5 bits of "r_token" mod

@@ -52,10 +52,12 @@ object UrlOps {
     * tracking params removed (with the first surviving param re-anchored to
     * `?`), dangling separators trimmed. Idempotent (spec-pinned).
     *
-    * The tracking-param pass removes each `[?&]param=value` span globally,
-    * then repairs the one case that leaves the query dangling — a leading
-    * `&` where the `?` used to be. No fixpoint loop is needed: every rule's
-    * output contains no new match for any earlier rule.
+    * The tracking-param pass operates on the QUERY alone: the url is split
+    * at the first `?`, every param is uniformly prefixed `&k=v`, tracking
+    * spans are removed globally, and the first survivor is re-anchored to
+    * `?`. The path is never touched — a literal `&` is a legal path
+    * character (RFC 3986 pchar), and an earlier whole-url rewrite corrupted
+    * `/a&b`-style paths into bogus queries (spec-pinned now).
     */
   def canonicalize(url: Column): Column = {
     // 1. lowercase scheme://authority (everything before the first /?#)
@@ -70,11 +72,15 @@ object UrlOps {
     val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
     // 4. fragment
     val noFrag = regexp_replace(noWww, "#.*$", "")
-    // 5. tracking params, then re-anchor the first survivor to '?'
-    val noTrack = regexp_replace(noFrag, "[?&](utm_[a-z]+|ref)=[^&#]*", "")
-    val reAnchored = regexp_replace(noTrack, "^([^?&#]*)&", "$1?")
-    // 6. dangling separator when ALL params were tracking
-    regexp_replace(reAnchored, "[?&]$", "")
+    // 5. split at the first '?'; the query (sans '?') is processed alone
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val rawQ = when(noFrag.contains("?"),
+      regexp_replace(noFrag, "^[^?]*\\?", "")).otherwise(lit(""))
+    // 6. uniform '&k=v' params → strip tracking → re-anchor to '?'; a query
+    //    that was all tracking (or empty/dangling '?') vanishes entirely
+    val qClean = regexp_replace(concat(lit("&"), rawQ), "&(utm_[a-z]+|ref)=[^&]*", "")
+    val qOut = regexp_replace(qClean, "^&", "?")
+    concat(base, when(rawQ === "", lit("")).otherwise(qOut))
   }
 
   /** Registrable host of a canonical url. */
@@ -178,8 +184,7 @@ object UrlOps {
   /** [[w3HostQuality]] over any (doc_id, source, lang, text) frame. */
   def w3Frame(documents: DataFrame): DataFrame = {
     val nChar = length(col("text"))
-    val nTokens = when(length(trim(col("text"))) === 0, 0)
-      .otherwise(size(split(trim(col("text")), "\\s+")))
+    val nTokens = TextAnalysis.tokenCount(col("text"))
     val nPunct = nChar - length(regexp_replace(col("text"), "[.,;:!?]", ""))
     val nDigit = nChar - length(regexp_replace(col("text"), "[0-9]", ""))
     val bad = nTokens < 5 || nPunct * 10 > nChar || nDigit * 5 > nChar

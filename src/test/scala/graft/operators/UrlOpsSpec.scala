@@ -29,7 +29,10 @@ class UrlOpsSpec extends AnyFunSuite {
       "https://a.com/p?id=5&ref=mail",              // trailing tracking param
       "https://a.com/p?utm_only=1",                 // query vanishes entirely
       "https://a.com/p?href=x&preference=1",        // href/preference are NOT ref/utm
-      "https://a.com/p#only-frag")
+      "https://a.com/p#only-frag",
+      "https://a.com/a&b?id=1",                     // literal & in PATH (RFC 3986 pchar)
+      "https://a.com/a&b",                          // path &, no query at all
+      "https://a.com/a&b?utm_a=1&id=2")             // path & + tracking removal
     assert(got == Seq(
       "https://site.com/A/b?id=9",                  // path case preserved
       "http://site.com/path",
@@ -38,7 +41,10 @@ class UrlOpsSpec extends AnyFunSuite {
       "https://a.com/p?id=5",
       "https://a.com/p",
       "https://a.com/p?href=x&preference=1",
-      "https://a.com/p"))
+      "https://a.com/p",
+      "https://a.com/a&b?id=1",                     // path untouched
+      "https://a.com/a&b",
+      "https://a.com/a&b?id=2"))
   }
 
   test("canonicalize is idempotent over the generated corpus") {
