@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, Mixture, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T, UrlOps}
+import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, Mixture, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T, TopK, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +69,9 @@ object SparkEntry {
     // token-budget mixture sampling: distributed two-pass prefix sum, NOT
     // the one-partition-per-stratum window (spec pins bit-identity to it)
     "d13_token_budget" -> (Mixture.d13TokenBudget _),
+    // exact per-language top-20 vocabulary: bounded mergeable top-K
+    // aggregate over final counts — no per-group window partition
+    "d14_top_vocab" -> ((s, d) => TopK.d14TopVocab(s, d)),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -709,6 +712,21 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 3000
         |                         WHEN lang = 'de' THEN 1500 ELSE 800 END""".stripMargin,
+    // d14: the oracle counts words relationally and selects per-language
+    // winners with the row_number window that is safe at ORACLE scale
+    // (the engine's bounded top-K aggregate avoids it); ties break
+    // (c DESC, word ASC) on both engines
+    "d14_top_vocab" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT lang, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, word, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, word ASC) AS rank
+        |  FROM c)
+        |SELECT lang, word, c AS n_occurrences, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 20""".stripMargin,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)
