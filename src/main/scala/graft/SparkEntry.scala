@@ -72,6 +72,9 @@ object SparkEntry {
     // exact per-language top-20 vocabulary: bounded mergeable top-K
     // aggregate over final counts — no per-group window partition
     "d14_top_vocab" -> ((s, d) => TopK.d14TopVocab(s, d)),
+    // per-document keyword extraction: all-integer salience ranking (no
+    // transcendental in the ordering), IEEE-exact displayed score
+    "d15_keywords" -> ((s, d) => T.d15Keywords(s, d)),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -727,6 +730,26 @@ object SparkEntry {
         |  FROM c)
         |SELECT lang, word, c AS n_occurrences, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 20""".stripMargin,
+    // d15: tf/df/N are integers and the rank order is all-integer, so the
+    // only float is the displayed salience tf*(N+1)/(df+1) — IEEE
+    // multiply/divide, bit-identical across engines, no rounding needed
+    "d15_keywords" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+        |    (tf.tf * (n.n_docs + CAST(1.0 AS DOUBLE))) /
+        |      (dfq.df + CAST(1.0 AS DOUBLE)) AS salience,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfq.df ASC, tf.word ASC) AS rank
+        |  FROM tf JOIN dfq USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(salience AS DOUBLE) AS salience, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)

@@ -238,4 +238,53 @@ object TextAnalysis {
         (col("n_shared").cast("double") / col("n_grams").cast("double"))
           .as("contaminated_frac"))
   }
+
+  /** d15: per-document keyword extraction — top-k salient terms per doc,
+    * the tf-idf move of reference docker/6 `clean_entity`'s text surface
+    * generalized to corpus statistics. Ranking is ALL-INTEGER (tf desc,
+    * df asc, word asc): equivalent to ranking by any idf monotone in df,
+    * but with no transcendental in the ordering — JVM `Math.log` (fdlibm)
+    * and DuckDB's libm `ln` can differ by a ULP, which would flip ranks on
+    * near-ties and break the hash gate. The displayed salience score,
+    * tf·(N+1)/(df+1), uses only IEEE multiply/divide — bit-identical in
+    * both engines, so no rounding is needed at all.
+    *
+    * Scale shape: the per-doc `row_number` window partitions on doc_id —
+    * group count = corpus size, so the rank shuffle is as wide as the
+    * cluster (unlike d14's 3-language case, which needs the bounded
+    * aggregate). `tf` feeds both the df rollup and the final join, so it
+    * is persisted for the call and released after the (k·ndocs-row) result
+    * materializes. N arrives via broadcast of a 1-row aggregate, not a
+    * driver collect.
+    */
+  def d15Keywords(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val words = d
+      .select(col("doc_id"), wordsCol(col("text")).as("w"))
+      // explode_outer + null filter: the d12 lesson (plain explode pushes
+      // inferred predicates below the projection with the split kernel
+      // substituted)
+      .select(col("doc_id"), explode_outer(col("w")).as("word"))
+      .filter(col("word").isNotNull)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")).persist()
+    // (doc_id, word) rows are distinct post-groupBy, so df is a plain count
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+    val out = tf
+      .join(dfreq, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("doc_id"), col("word"), col("tf"), col("df"),
+        (col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          .as("salience"),
+        col("rank"))
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
 }
