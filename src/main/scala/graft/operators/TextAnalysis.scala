@@ -258,7 +258,6 @@ object TextAnalysis {
     * driver collect.
     */
   def d15Keywords(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(spark, dir)
     val words = d
       .select(col("doc_id"), wordsCol(col("text")).as("w"))
@@ -268,12 +267,21 @@ object TextAnalysis {
       .select(col("doc_id"), explode_outer(col("w")).as("word"))
       .filter(col("word").isNotNull)
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")).persist()
+    val out = d15Frame(tf, d.agg(count(lit(1)).as("n_docs")), k).localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
+
+  /** The rank/score plan over a (pre-persisted) tf frame — the seam the
+    * plan-shape spec inspects (the entry's eager checkpoint hides it).
+    */
+  def d15Frame(tf: DataFrame, n: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // (doc_id, word) rows are distinct post-groupBy, so df is a plain count
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val n = d.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("word").asc)
-    val out = tf
+    tf
       .join(dfreq, Seq("word"))
       .crossJoin(broadcast(n))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -283,8 +291,5 @@ object TextAnalysis {
         (col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
           .as("salience"),
         col("rank"))
-      .localCheckpoint(true)
-    tf.unpersist()
-    out
   }
 }

@@ -275,4 +275,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     spark.catalog.clearCache() // materializeResult=false leaves assign/delta persisted
   }
+
+  test("d15: rank window partitions on doc_id, N arrives broadcast, no cartesian") {
+    // final plan is a checkpoint scan — pin the d15Frame seam the query wraps
+    val spark2 = spark
+    import spark2.implicits._
+    val tf = Seq(("a", "x", 2L), ("a", "y", 1L), ("b", "x", 3L)).toDF("doc_id", "word", "tf")
+    val n = Seq(Tuple1(2L)).toDF("n_docs")
+    val p = graft.operators.TextAnalysis.d15Frame(tf, n, k = 5).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Window"), p.take(1500))
+    assert(p.contains("PartitionBy: [doc_id") || p.contains("partitionBy=[doc_id")
+      || p.contains("windowspecdefinition(doc_id"),
+      "per-doc window must partition on doc_id (corpus-wide group count)\n" + p.take(1500))
+    // the 1-row N frame rides a broadcast nested-loop (no join key, 1 row —
+    // the KeywordSearch corpus-stats precedent); a shuffled CartesianProduct
+    // over the full tf frame would be the scale bug this guards against
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
 }
