@@ -29,7 +29,9 @@ object Dedup {
     * SQL oracle's `list_distinct(list_transform(...))` set-wise).
     */
   def shinglesScala(text: String, n: Int = 3): Seq[String] = {
-    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    // TextAnalysis.WhitespaceRe: RE2 \s (the oracle dialect) minus Java's
+    // extra U+000B match
+    val toks = text.trim.split(TextAnalysis.WhitespaceRe).filter(_.nonEmpty)
     if (toks.length < n) Seq.empty
     else {
       val out = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -220,7 +220,7 @@ object Sketches {
   def d9CmsHeavy(spark: SparkSession, dir: String, d: Int = 4, w: Int = 1024): DataFrame = {
     val tokens = Relational.table(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
-      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(explode(split(trim(col("text")), TextAnalysis.WhitespaceRe)).as("t"))
       .filter(length(col("t")) > 0)
       .persist()
     val exact = tokens.groupBy("t").agg(count(lit(1)).as("n_exact"))

@@ -17,10 +17,17 @@ object TextAnalysis {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** The whitespace class shared with every DuckDB oracle that tokenizes
+    * with RE2 `\s+`: Java's `\s` additionally matches U+000B (vertical
+    * tab), so the engine spells the RE2 class out explicitly — the
+    * Java∩RE2 common-dialect rule the url/PII regexes already follow.
+    */
+  private[operators] val WhitespaceRe = "[ \t\n\f\r]+"
+
   /** Whitespace token count as a pure Column (codegen, no UDF). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(size(split(trim(text), WhitespaceRe)))
 
   /** Corpus stats per (lang, source). */
   def d1DocStats(spark: SparkSession, dir: String): DataFrame =
@@ -110,7 +117,7 @@ object TextAnalysis {
   /** Whitespace word array as a pure Column (empty array for blank text). */
   private[operators] def wordsCol(text: Column): Column =
     when(length(trim(text)) === 0, typedLit(Seq.empty[String]))
-      .otherwise(split(trim(text), "\\s+"))
+      .otherwise(split(trim(text), WhitespaceRe))
 
   /** Word n-gram array built from a word-array column with higher-order
     * functions only — no explode, no UDF, no shuffle. Guarded so that rows

@@ -29,7 +29,18 @@ object TopK {
     */
   final class TopKAgg(k: Int)
     extends Aggregator[(Long, String), Array[(Long, String)], Array[(Long, String)]] {
-    private val ord = Ordering.Tuple2[Long, String]
+    // String ties compare as UTF-8 BYTES, not JVM UTF-16 code units: the
+    // window form (Spark UTF8String) and DuckDB (binary collation) both
+    // order byte-wise, and the two orders disagree on supplementary-plane
+    // words (a UTF-16 surrogate 0xD800.. sorts before U+E000..U+FFFF, but
+    // its UTF-8 bytes F0.. sort after their EF..) — a JVM-order tie-break
+    // at the k boundary would keep a different word than the oracle.
+    private def cmp(a: (Long, String), b: (Long, String)): Int = {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c
+      else org.apache.spark.unsafe.types.UTF8String.fromString(a._2)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._2))
+    }
     override def zero: Array[(Long, String)] = Array.empty
 
     override def reduce(buf: Array[(Long, String)], r: (Long, String)) = {
@@ -37,7 +48,7 @@ object TopK {
         var lo = 0; var hi = buf.length
         while (lo < hi) {
           val mid = (lo + hi) >>> 1
-          if (ord.lt(buf(mid), r)) lo = mid + 1 else hi = mid
+          if (cmp(buf(mid), r) < 0) lo = mid + 1 else hi = mid
         }
         lo
       }
@@ -53,17 +64,19 @@ object TopK {
     }
 
     override def merge(a: Array[(Long, String)], b: Array[(Long, String)]) = {
+      // takes exactly one element per step with no dedup, so `out` always
+      // fills completely (inputs are pre-aggregated: no duplicate keys)
       val out = new Array[(Long, String)](math.min(a.length + b.length, k))
       var i = 0; var j = 0; var n = 0
-      while (n < out.length && (i < a.length || j < b.length)) {
+      while (n < out.length) {
         val take =
           if (i >= a.length) { j += 1; b(j - 1) }
           else if (j >= b.length) { i += 1; a(i - 1) }
-          else if (ord.lteq(a(i), b(j))) { i += 1; a(i - 1) }
+          else if (cmp(a(i), b(j)) <= 0) { i += 1; a(i - 1) }
           else { j += 1; b(j - 1) }
         out(n) = take; n += 1
       }
-      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+      out
     }
 
     override def finish(r: Array[(Long, String)]) = r
@@ -73,18 +86,18 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, String)]]()
   }
 
-  /** Top-k rows per group over a FULLY AGGREGATED (group, word, c) frame:
-    * returns (group, word, c, rank) with rank 1..k by (c desc, word asc).
+  /** Top-k rows per group over a FULLY AGGREGATED (groupCol, word, c)
+    * frame: returns (groupCol, word, n_occurrences, rank) with rank 1..k
+    * by (c desc, word asc).
     */
-  def perGroupTopK(counts: DataFrame, k: Int): DataFrame = {
-    val spark = counts.sparkSession
+  def perGroupTopK(counts: DataFrame, k: Int, groupCol: String = "lang"): DataFrame = {
     val agg = udaf(new TopKAgg(k))
     counts
-      .groupBy("lang")
+      .groupBy(groupCol)
       .agg(agg((-col("c")).as("negc"), col("word")).as("top"))
-      .select(col("lang"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("_pos", "_t")))
       .select(
-        col("lang"), col("_t._2").as("word"), (-col("_t._1")).as("n_occurrences"),
+        col(groupCol), col("_t._2").as("word"), (-col("_t._1")).as("n_occurrences"),
         (col("_pos") + 1L).cast("long").as("rank"))
   }
 

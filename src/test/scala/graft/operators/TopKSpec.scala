@@ -72,6 +72,29 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("tie at the k boundary orders words by UTF-8 bytes, not JVM UTF-16 units") {
+    // U+10000 (UTF-16 surrogate pair D800 DC00; UTF-8 F0 90 80 80) vs
+    // U+FFFD (UTF-8 EF BF BD): JVM String order puts the surrogate FIRST,
+    // UTF-8 byte order (Spark window / DuckDB binary collation) puts it
+    // LAST — a JVM-order tie-break would keep the wrong word at k=1.
+    val supp = new String(Character.toChars(0x10000))
+    val counts = spark.createDataset(Seq(
+      ("g", supp, 7L), ("g", "�", 7L))).toDF("lang", "word", "c")
+    val got = rows(TopK.perGroupTopK(counts, 1))
+    assert(got == Seq(("g", "�", 7L, 1L)))
+    assert(got == rows(windowed(counts, 1)))
+  }
+
+  test("tokenizer dialect: U+000B is NOT a separator (RE2 \\s parity with the oracle)") {
+    // Java's \s matches vertical tab, RE2's does not — the engine spells
+    // out the RE2 class so both sides see a-VT-b as ONE token.
+    val df = spark.createDataset(Seq("a\u000bb c")).toDF("text")
+      .select(TextAnalysis.wordsCol(col("text")).as("w"),
+        TextAnalysis.tokenCount(col("text")).as("n"))
+    val (w, n) = df.as[(Seq[String], Int)].head()
+    assert(w == Seq("a\u000bb", "c") && n == 2)
+  }
+
   test("plan: no window over the full counts — selection is a partial-merge aggregate") {
     val counts = spark.createDataset(Seq(("g", "w", 1L))).toDF("lang", "word", "c")
     val plan = TopK.perGroupTopK(counts, 3).queryExecution.executedPlan.toString
