@@ -111,6 +111,9 @@ object SparkEntry {
     // IVF with TRAINED (deterministic Lloyd) centroids: the codebook is the
     // materialized kernel; the oracle replays assignment/probe/re-rank
     "s6_ann_ivf_trained" -> ((s, d) => Similarity.ivfTopKTrained(s, d)),
+    // blocking-quality audit: pair completeness / reduction ratio / pairs
+    // quality of the s4 LSH blocking vs the s3 exact truth
+    "s7_blocking_quality" -> ((s, d) => Similarity.blockingQuality(s, d, threshold = 0.3)),
     // retrieval eval
     "em1_retrieval_metrics" -> ((s, d) => Eval.metrics(s, d)),
     "em2_rerank" -> ((s, d) => Eval.rerank(s, d)),
@@ -941,6 +944,42 @@ object SparkEntry {
          |  JOIN nn x ON x.vec_id = c.a
          |  JOIN nn y ON y.vec_id = c.b)
          |SELECT a, b, round(cos, 6) + 0 AS cos FROM p WHERE cos >= 0.3""".stripMargin,
+    // s7: the oracle recomputes BOTH sides — candidates from the same
+    // md5-derived hyperplanes as s4, truth from the same bit-exact cosine
+    // as s3 — then the four audit counts and IEEE long/long ratio divisions
+    "s7_blocking_quality" ->
+      s"""WITH ${lshCte(seedBase = 7, tables = 4, bits = 10)},
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bkt x JOIN bkt y ON x.t = y.t AND x.bucket = y.bucket
+         |    AND x.vec_id < y.vec_id),
+         |truth AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM nn x JOIN nn y ON x.vec_id < y.vec_id
+         |  WHERE (CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
+         |         ELSE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) END)
+         |    >= 0.3),
+         |m AS (
+         |  SELECT
+         |    (SELECT count(*) FROM nn) AS n_vectors,
+         |    (SELECT count(*) FROM cand) AS n_candidates,
+         |    (SELECT count(*) FROM truth) AS n_truth,
+         |    (SELECT count(*) FROM truth t JOIN cand c
+         |       ON t.a = c.a AND t.b = c.b) AS n_covered)
+         |SELECT n_vectors,
+         |  (n_vectors * (n_vectors - 1)) // 2 AS n_total_pairs,
+         |  n_candidates, n_truth, n_covered,
+         |  CASE WHEN n_truth = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(n_covered AS DOUBLE) / CAST(n_truth AS DOUBLE) END
+         |    AS pair_completeness,
+         |  CASE WHEN n_vectors < 2 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(1.0 AS DOUBLE) - CAST(n_candidates AS DOUBLE) /
+         |         CAST((n_vectors * (n_vectors - 1)) // 2 AS DOUBLE) END
+         |    AS reduction_ratio,
+         |  CASE WHEN n_candidates = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(n_covered AS DOUBLE) / CAST(n_candidates AS DOUBLE) END
+         |    AS pairs_quality
+         |FROM m""".stripMargin,
     "s3_embedding_neardup" ->
       s"""WITH nn AS (
          |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm

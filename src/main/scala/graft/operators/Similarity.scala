@@ -295,4 +295,52 @@ object Similarity {
 
     pairs.select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** s7: blocking-quality audit — the record-linkage acceptance metrics for
+    * the LSH candidate generator, measured against the exact baseline on an
+    * audit corpus: pair completeness (recall of true near-dup pairs reached
+    * by any bucket), reduction ratio (fraction of the n·(n−1)/2 all-pairs
+    * space the blocking prunes), and pairs quality (precision of the
+    * candidate stream). This is how you tune bits/tables before trusting
+    * [[embeddingNearDup]] at full scale.
+    *
+    * Scale shape: an AUDIT op — the exact-truth side is the s3 all-pairs
+    * baseline and is only sound while one side broadcasts, so run it on a
+    * bounded sample of the corpus (the same contract s3 documents). The
+    * candidate side never materializes embeddings: bucket ids join on
+    * scalars and only (a, b) id pairs cross the dedup shuffle. The four
+    * audit counts are bounded scalars (the KeywordSearch corpus-stats
+    * precedent); ratios are computed long→double with IEEE division, which
+    * the DuckDB oracle replays exactly.
+    */
+  def blockingQuality(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                      bits: Int = 10, tables: Int = 4, dimLen: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).withColumn("_n", norm(col("embedding"))).persist()
+    val cand = (0 until tables).map { t =>
+      val withB = e.select(col("vec_id"),
+        lshBucket(col("embedding"), dimLen, bits, seed = 7L + t).as("bucket"))
+      withB.select(col("bucket"), col("vec_id").as("a"))
+        .join(withB.select(col("bucket"), col("vec_id").as("b")), Seq("bucket"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+    }.reduce(_ unionByName _).dropDuplicates("a", "b").persist()
+    val l = e.select(col("vec_id").as("a"), col("embedding").as("va"), col("_n").as("_na"))
+    val r = e.select(col("vec_id").as("b"), col("embedding").as("vb"), col("_n").as("_nb"))
+    val truth = l.join(broadcast(r), col("a") < col("b"))
+      .filter(cosineWithNorms(col("va"), col("vb"), col("_na"), col("_nb")) >= threshold)
+      .select("a", "b").persist()
+    val nVec = e.count()
+    val nCand = cand.count()
+    val nTruth = truth.count()
+    val nCovered = truth.join(cand, Seq("a", "b")).count()
+    e.unpersist(); cand.unpersist(); truth.unpersist()
+    val nTotal = nVec * (nVec - 1) / 2
+    Seq((nVec, nTotal, nCand, nTruth, nCovered,
+      if (nTruth == 0) 1.0 else nCovered.toDouble / nTruth.toDouble,
+      if (nTotal == 0) 0.0 else 1.0 - nCand.toDouble / nTotal.toDouble,
+      if (nCand == 0) 1.0 else nCovered.toDouble / nCand.toDouble))
+      .toDF("n_vectors", "n_total_pairs", "n_candidates", "n_truth", "n_covered",
+        "pair_completeness", "reduction_ratio", "pairs_quality")
+  }
 }

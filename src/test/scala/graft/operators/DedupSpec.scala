@@ -165,6 +165,32 @@ class DedupSpec extends AnyFunSuite {
     assert(c1 == c2 && c1.size == 16)
   }
 
+  test("s7 blocking audit: counts cross-check against the exact and LSH pair sets") {
+    spark.catalog.clearCache()
+    val dirE = "/root/testdata/sf0.001"
+    val m = Similarity.blockingQuality(spark, dirE, threshold = 0.3).collect().head
+    // independent reconstruction: truth from the exact baseline, candidates
+    // from the LSH path with an always-true threshold (cos ≥ -2 keeps every
+    // bucket-cojoined pair)
+    val truth = Similarity.embeddingNearDupExact(spark, dirE, threshold = 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val cand = Similarity.embeddingNearDup(spark, dirE, threshold = -2.0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val nVec = m.getLong(0)
+    assert(m.getLong(1) == nVec * (nVec - 1) / 2)
+    assert(m.getLong(2) == cand.size.toLong, "n_candidates")
+    assert(m.getLong(3) == truth.size.toLong, "n_truth")
+    assert(m.getLong(4) == (truth intersect cand).size.toLong, "n_covered")
+    assert(m.getDouble(5) == (truth intersect cand).size.toDouble / truth.size)
+    assert(m.getDouble(6) == 1.0 - cand.size.toDouble / m.getLong(1).toDouble)
+    assert(m.getDouble(7) == (truth intersect cand).size.toDouble / cand.size)
+    // audit invariants: blocking prunes, and precision ≤ 1 ≥ completeness
+    assert(m.getLong(2) < m.getLong(1), "blocking must prune the pair space")
+    assert(m.getDouble(5) > 0.0 && m.getDouble(5) <= 1.0)
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark),
+      "s7 left frames cached")
+  }
+
   test("dedup apply: verdicts == union-find over the LSH pairs, keeper = min id") {
     val pairs = Dedup.minhashLsh(spark, dir)
       .select("a", "b").as[(Long, Long)].collect()
