@@ -197,6 +197,10 @@ object SparkEntry {
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
       graft.streaming.EventsStream.dedupEvents(R.table(s, d, "events"))),
+    // watermark-bounded stream-stream interval join (batch form; the true
+    // streaming twin attributionStream is spec-pinned equal)
+    "st3_attribution" -> ((s, d) =>
+      graft.streaming.EventsStream.attribution(R.table(s, d, "events"))),
   )
 
   /** Single source of truth for the oracle-frame location: the SQL below
@@ -1120,6 +1124,16 @@ object SparkEntry {
         |  WHERE CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
         |        / 4294967296.0 < 0.1)
         |SELECT DISTINCT event_id, ts_ms, user_id, event_type, value FROM d""".stripMargin,
+    // st3: the oracle expresses the 30-minute attribution window as a
+    // direct interval join; the engine's bucketed rendezvous must be
+    // pair-for-pair identical
+    "st3_attribution" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+        |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(v.ts) AS view_ms
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts""".stripMargin,
     "kw1_keyword_search" ->
       """WITH q(query_id, term) AS (VALUES
         |  (1,'spark'),(1,'window'),(1,'batch'),

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.RangeJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -175,4 +176,60 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
         col("user_id"), col("event_type"), col("value"))
+
+  /** st3: purchase attribution — every (purchase, prior view) pair of the
+    * same user with `purchase_ts − 30 min ≤ view_ts < purchase_ts`.
+    * BATCH entry (the st3 oracle path): composed from the bucketed
+    * interval join, so a hot user's years of events rendezvous per
+    * 1-hour bucket instead of forming pairs quadratically inside one
+    * join group (the RangeJoin scaladoc's hazard). Output in epoch
+    * millis, encoding-free for the oracle compare.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val e = events.withColumn("ts", col("ts").cast("timestamp"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"))
+    RangeJoin.bucketedIntervalJoin(
+      points = views, intervals = purchases,
+      pointTime = col("view_ts"), start = col("w_start"), end = col("purchase_ts"),
+      pointKey = col("v_user"), intervalKey = col("user_id"),
+      bucketUs = 3600L * 1000000L)
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"),
+        unix_millis(col("view_ts")).as("view_ms"))
+  }
+
+  /** The STREAMING entry: a watermark-bounded STREAM-STREAM inner join —
+    * the one stateful join shape the other streaming ops don't exercise.
+    * Both legs carry their own watermark and the join condition pairs the
+    * user-id equality with the 30-minute event-time range, so Spark's
+    * symmetric hash join can expire buffered rows once the watermark
+    * passes the range bound: state is (watermark + 30 min) of events per
+    * side, never the full stream. AttributionStreamSpec pins stream ==
+    * batch.
+    */
+  def attributionStream(events: DataFrame,
+                        watermarkDelay: String = "2 hours"): DataFrame = {
+    val e = events.withColumn("ts", col("ts").cast("timestamp"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    views.join(purchases,
+      col("v_user") === col("user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("view_ts") < col("purchase_ts"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"),
+        unix_millis(col("view_ts")).as("view_ms"))
+  }
 }
