@@ -189,6 +189,9 @@ object SparkEntry {
     // temporal SCD-2 triple history (P1082 across crawls 1+2): validity
     // intervals open only on value CHANGES, re-assertions extend them
     "kg20_triple_scd" -> (KgQueries.tripleScd _),
+    // point-in-time snapshot read over the kg20 SCD-2 history: probes
+    // between/after the crawls see crawl-1 vs current values
+    "kg22_triple_asof" -> (KgQueries.tripleAsOf _),
     // incremental canonicalization: crawl-2 delta edges folded into the
     // crawl-1 assignment via a contracted-graph CC (world never recomputed);
     // oracle recomputes components from scratch over base ∪ delta
@@ -1423,6 +1426,30 @@ object SparkEntry {
          |SELECT qid, value, ts AS valid_from,
          |  lead(ts) OVER (PARTITION BY qid ORDER BY ts) AS valid_to
          |FROM cp""".stripMargin,
+    // kg22: the oracle rebuilds the SCD-2 history from the same observation
+    // frame (the kg20 replay) and applies the interval-coverage predicate
+    // at the two fixed probe instants
+    "kg22_triple_asof" ->
+      s"""WITH o AS (
+         |  SELECT * FROM read_parquet('$OF/kg20_obs/*.parquet')),
+         |c AS (
+         |  SELECT qid, value, ts,
+         |    lag(value) OVER (PARTITION BY qid ORDER BY ts) AS prev,
+         |    lag(ts) OVER (PARTITION BY qid ORDER BY ts) AS prev_ts
+         |  FROM o),
+         |cp AS (
+         |  SELECT qid, value, ts FROM c
+         |  WHERE prev_ts IS NULL OR value IS DISTINCT FROM prev),
+         |h AS (
+         |  SELECT qid, value, ts AS valid_from,
+         |    lead(ts) OVER (PARTITION BY qid ORDER BY ts) AS valid_to
+         |  FROM cp),
+         |p(probe, pts) AS (VALUES
+         |  ('between_crawls', epoch_ms(1735732800000)),
+         |  ('after_crawl2', epoch_ms(1735862400000)))
+         |SELECT p.probe, h.qid, h.value, epoch_ms(h.valid_from) AS valid_from_ms
+         |FROM h JOIN p ON h.valid_from <= p.pts
+         |  AND (h.valid_to IS NULL OR p.pts < h.valid_to)""".stripMargin,
     // kg21: components recomputed FROM SCRATCH over base ∪ delta edges
     // (recursive-CTE closure + min-label, the kg5 shape) — an independent
     // check that the engine's incremental contracted-graph fold equals the

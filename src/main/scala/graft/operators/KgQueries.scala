@@ -469,6 +469,32 @@ object KgQueries {
     Scd.intervals(materializeForOracle(obs, "kg20_obs"), Seq("qid"), "value", "ts")
   }
 
+  /** kg22: point-in-time (AS-OF) snapshot read over the kg20 SCD-2 triple
+    * history — "the graph as it was at T": each probe timestamp returns
+    * every qid's value whose validity interval covers it
+    * (`valid_from ≤ T < valid_to`, open intervals current). The probe
+    * BETWEEN the two crawls must see crawl-1 values; the probe AFTER
+    * crawl 2 sees the current ones — together the write (kg20) and read
+    * halves of temporal-KG maintenance.
+    *
+    * Scale shape: the probe set is a bounded broadcast (a time-travel
+    * read never has many probe instants) against the history scan — one
+    * narrow broadcast join, no shuffle of the history.
+    */
+  def tripleAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = tripleScd(spark, dir)
+    val probes = Seq(
+      ("between_crawls", new java.sql.Timestamp(1735689600000L + 43200000L)),
+      ("after_crawl2", new java.sql.Timestamp(1735689600000L + 2L * 86400000L)))
+      .toDF("probe", "pts")
+    hist.join(broadcast(probes),
+        col("valid_from") <= col("pts") &&
+          (col("valid_to").isNull || col("pts") < col("valid_to")))
+      .select(col("probe"), col("qid"), col("value"),
+        unix_millis(col("valid_from")).as("valid_from_ms"))
+  }
+
   /** kg21: INCREMENTAL canonicalization — crawl 2's sameAs edges folded
     * into crawl 1's component assignment via the contracted-graph fold
     * ([[graft.canon.ConnectedComponents.runIncremental]]): the small CC

@@ -123,6 +123,28 @@ class IncrementalCrawlSpec extends AnyFunSuite {
     assert(open.forall(_._2 == 1L) && open.length == perQid.size)
   }
 
+  test("kg22 as-of: the between-crawls probe sees crawl-1 values, after sees current") {
+    val asOf = KgQueries.tripleAsOf(spark, "")
+      .as[(String, String, String, Long)].collect().toSeq
+    val between = asOf.filter(_._1 == "between_crawls").map(r => r._2 -> r._3).toMap
+    val after = asOf.filter(_._1 == "after_crawl2").map(r => r._2 -> r._3).toMap
+    // exactly one value per entity per probe (snapshots are functional)
+    assert(asOf.groupBy(r => (r._1, r._2)).forall(_._2.size == 1))
+    assert(between.keySet == after.keySet, "both snapshots cover every entity")
+    // the i%6==0 family was revised in crawl 2: snapshots must DISAGREE
+    // there and agree everywhere else
+    val changed = asOf.map(_._2).distinct
+      .filter(q => (q.substring(1).toLong - 100000L) % 6 == 0).toSet
+    changed.foreach(q => assert(between(q) != after(q), s"$q should differ"))
+    (between.keySet -- changed).foreach(q =>
+      assert(between(q) == after(q), s"$q should be stable"))
+    // and the between-probe values are exactly the FIRST (crawl-1) versions
+    val first = KgQueries.tripleScd(spark, "")
+      .filter(col("valid_from") < org.apache.spark.sql.functions.lit("2025-01-01 13:00:00").cast("timestamp"))
+      .select("qid", "value").as[(String, String)].collect().toMap
+    assert(between == first)
+  }
+
   // ── incremental connected components ───────────────────────────────────
 
   private def assignMap(df: org.apache.spark.sql.DataFrame): Map[String, String] =
