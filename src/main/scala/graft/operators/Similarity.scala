@@ -325,10 +325,10 @@ object Similarity {
         .filter(col("a") < col("b"))
         .select("a", "b")
     }.reduce(_ unionByName _).dropDuplicates("a", "b").persist()
-    val l = e.select(col("vec_id").as("a"), col("embedding").as("va"), col("_n").as("_na"))
-    val r = e.select(col("vec_id").as("b"), col("embedding").as("vb"), col("_n").as("_nb"))
-    val truth = l.join(broadcast(r), col("a") < col("b"))
-      .filter(cosineWithNorms(col("va"), col("vb"), col("_na"), col("_nb")) >= threshold)
+    // truth DERIVES from the s3 baseline itself (not an inline replica), so
+    // the audit can never drift from the comparison semantics it claims to
+    // measure against
+    val truth = embeddingNearDupExact(spark, dir, threshold)
       .select("a", "b").persist()
     val nVec = e.count()
     val nCand = cand.count()
