@@ -289,6 +289,57 @@ final class MergeTable(spark: SparkSession, val path: String,
     }
   }
 
+  /** Iceberg-style snapshot expiry + orphan-file GC (`expire_snapshots` +
+    * `remove_orphan_files`): keep the newest `keepLast` manifests (always
+    * including current), delete every older manifest, then remove any
+    * `data/snap-N` directory no SURVIVING manifest's bucket map references.
+    * REACHABILITY, not age, decides data deletion: an untouched bucket's
+    * file written by the very first snapshot survives as long as a kept
+    * manifest still points at it — only data exclusively owned by expired
+    * history is reclaimed. Time travel to a kept snapshot keeps working;
+    * to an expired one it fails fast on the missing manifest.
+    *
+    * At 100 TB this is the maintenance job that bounds table storage:
+    * every merge rewrites touched buckets under a new snapshot, so without
+    * expiry the table grows by the churn rate forever. Pure
+    * manifest/directory metadata work — no data files are read or
+    * rewritten, no Spark job runs.
+    *
+    * Returns (expired manifest ids, deleted snapshot data dirs).
+    */
+  def expireSnapshots(keepLast: Int): (Seq[Long], Seq[Long]) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val cur = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"table $path has no snapshot"))
+    val all = snapshots
+    val keep = all.takeRight(keepLast).toSet + cur
+    val expired = all.filterNot(keep)
+    val referenced: Set[Long] = keep.flatMap(v => readManifest(v)._2.values)
+    expired.foreach(v => Files.deleteIfExists(manifestFile(v)))
+    val dataDir = Paths.get(path, "data")
+    val onDisk: Seq[Long] =
+      if (!Files.exists(dataDir)) Seq.empty
+      else {
+        val st = Files.list(dataDir)
+        try st.toArray.map(_.toString)
+          .flatMap(s => "snap-(\\d+)$".r.findFirstMatchIn(s).map(_.group(1).toLong))
+          .toSeq
+        finally st.close()
+      }
+    // a kept snapshot's dir can itself be unreferenced (a merge that only
+    // carried pointers forward writes no files) — keep it anyway out of
+    // caution; everything else unreferenced is provably unreachable
+    val orphans = onDisk.filterNot(referenced).filterNot(keep).sorted
+    orphans.foreach { snap =>
+      val dir = Paths.get(path, s"data/snap-$snap")
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    (expired, orphans)
+  }
+
   /** Atomic-ish current pointer flip. */
   private def commitCurrent(newSnap: Long): Unit = {
     val tmp = Paths.get(path, s"_current.tmp")

@@ -120,6 +120,36 @@ class MergeTableSpec extends AnyFunSuite {
     assert(got == Set(("u2", 0, "b"), ("u3", 0, "c"))) // u1 replaced away, u2 intact
   }
 
+  test("expireSnapshots: reachability GC — shared first-snapshot data survives, dead churn is reclaimed") {
+    val path = tmp()
+    val t = new MergeTable(spark, path, Seq("id"), numBuckets = 8)
+    t.merge((1 to 100).map(i => (s"k$i", i)).toDF("id", "v"))       // snap 1: all buckets
+    t.merge(Seq(("k1", -1)).toDF("id", "v"))                        // snap 2: rewrites k1's bucket
+    t.merge(Seq(("k1", -2)).toDF("id", "v"))                        // snap 3: rewrites it again
+    val before = t.read().as[(String, Int)].collect().toMap
+
+    val (expired, deleted) = t.expireSnapshots(keepLast = 1)
+    assert(expired == Seq(1L, 2L), "manifests v1+v2 expire")
+    // snap-2's data is owned only by expired history → reclaimed; snap-1's
+    // untouched buckets are still referenced by the CURRENT manifest → kept
+    assert(deleted == Seq(2L), s"only dead churn reclaimed, got $deleted")
+    assert(Files.exists(Paths.get(path, "data", "snap-1")))
+    assert(!Files.exists(Paths.get(path, "data", "snap-2")))
+
+    // current read is bit-identical; time travel to the kept snapshot works,
+    // to expired history fails fast
+    assert(t.read().as[(String, Int)].collect().toMap == before)
+    assert(t.readSnapshot(3).count() == 100)
+    intercept[Exception](t.readSnapshot(1))
+    assert(t.snapshots == Seq(3L))
+
+    // expiry is idempotent and a later merge keeps working
+    assert(t.expireSnapshots(keepLast = 1) == ((Seq.empty, Seq.empty)))
+    t.merge(Seq(("k2", -9)).toDF("id", "v"))
+    val after = t.read().as[(String, Int)].collect().toMap
+    assert(after("k2") == -9 && after("k1") == -2 && after.size == 100)
+  }
+
   test("bucket-layout mismatch is a hard error, not silent duplication") {
     val path = tmp()
     new MergeTable(spark, path, Seq("url", "begin"), scopeCols = Some(Seq("url")))
