@@ -87,6 +87,9 @@ object SparkEntry {
     // per-host boilerplate gram: argmax as min(struct(-c, gram)) aggregate,
     // no per-host window partition
     "w4_host_boilerplate" -> (UrlOps.w4HostBoilerplate _),
+    // robots-compliance frontier filter: broadcast rule table, prefix-match
+    // left-join, per-doc min-rule verdict
+    "w5_robots_filter" -> (UrlOps.w5RobotsFilter _),
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dd3_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardExact(s, d)),
@@ -823,6 +826,30 @@ object SparkEntry {
         |  CAST(n_docs_with_gram AS DOUBLE) / CAST(n_docs AS DOUBLE) AS df_share,
         |  (n_docs_with_gram * 2 > n_docs) AS boilerplate
         |FROM top JOIN n USING (host) WHERE rn = 1""".stripMargin),
+    // w5: the oracle rebuilds the same arithmetic rule table with range(13)
+    // and replays the prefix match + min-rule verdict over the canon chain
+    "w5_robots_filter" -> urlCanonSql(
+      """,
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |    regexp_extract(canon_url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+        |  FROM c7),
+        |rules AS (
+        |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com' AS rhost,
+        |         '/src' || CAST(k AS VARCHAR) AS disallow
+        |  FROM range(13) t(k)
+        |  UNION ALL
+        |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com',
+        |         '/src' || CAST((k + 7) % 20 AS VARCHAR)
+        |  FROM range(13) t(k)),
+        |m AS (
+        |  SELECT d.doc_id, d.host, d.path, min(r.disallow) AS rule
+        |  FROM d LEFT JOIN rules r
+        |    ON d.host = r.rhost AND starts_with(d.path, r.disallow)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, host, path, rule IS NOT NULL AS blocked, rule
+        |FROM m""".stripMargin),
     "dd1_minhash_lsh" -> minhashLshSql("",
       "SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5"),
     // dd4: incremental dedup == exactly the dd1 pairs that involve >= 1

@@ -202,4 +202,46 @@ object UrlOps {
         (col("n_bad").cast("double") / col("n_docs").cast("double")).as("bad_frac"),
         (col("n_bad") * 4 > col("n_docs")).as("blocked"))
   }
+
+  /** Deterministic robots rules: host k disallows path prefixes `/src{k}`
+    * and `/src{(k+7) mod 20}` — plain arithmetic, so the oracle rebuilds
+    * the identical rule table with `range(13)`.
+    */
+  def robotsRules(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 13).flatMap { k =>
+      Seq((s"host$k.example.com", s"/src$k"),
+        (s"host$k.example.com", s"/src${(k + 7) % 20}"))
+    }.toDF("rhost", "disallow")
+  }
+
+  /** w5: robots-compliance frontier filter — the crawl stage that drops
+    * urls a host's robots rules disallow. Rules are PATH-PREFIX matches
+    * (real robots.txt semantics: `/src1` also covers `/src18/...`), so a
+    * path can match several rules; the verdict keeps the lexicographically
+    * smallest matched rule for determinism.
+    *
+    * 100 TB shape: the rule table is robots.txt-sized — a bounded
+    * broadcast — and the match is a narrow broadcast left-join on
+    * (host equality × prefix predicate) over the canonicalized scan; the
+    * only shuffle is the per-doc min-rule aggregate of scalar rows, and a
+    * doc matches at most a handful of rules so the aggregate input stays
+    * O(docs).
+    */
+  def w5RobotsFilter(spark: SparkSession, dir: String): DataFrame =
+    w5Frame(docs(spark, dir), robotsRules(spark))
+
+  /** [[w5RobotsFilter]] over any doc frame and (rhost, disallow) rules. */
+  def w5Frame(documents: DataFrame, rules: DataFrame): DataFrame = {
+    val d = w1Frame(documents)
+      .withColumn("path",
+        regexp_extract(col("canon_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1))
+    d.join(broadcast(rules),
+        d("host") === rules("rhost") && d("path").startsWith(rules("disallow")),
+        "left")
+      .groupBy("doc_id", "host", "path")
+      .agg(min(col("disallow")).as("rule"))
+      .select(col("doc_id"), col("host"), col("path"),
+        col("rule").isNotNull.as("blocked"), col("rule"))
+  }
 }

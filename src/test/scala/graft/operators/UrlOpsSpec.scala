@@ -98,6 +98,27 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(g2 == "aaa bbb zzz" && c2 == 1L && n2 == 2L && !b2)
   }
 
+  test("w5 robots filter: prefix semantics, overlap tie-break, host isolation") {
+    // host k disallows /src{k} and /src{(k+7)%20}. doc_id picks the host
+    // (id % 13); source picks the path segment.
+    val docs = Seq(
+      (0L, "t", "en", "src0"),   // host 0, path /src0/... → blocked by /src0
+      (13L, "t", "en", "src5"),  // host 0, /src5 → allowed (host 0 blocks 0,7)
+      (7L, "t", "en", "src14"),  // host 7, /src14 → blocked (7+7=14)
+      (1L, "t", "en", "src18"),  // host 1: rules /src1,/src8; /src1 PREFIX-matches /src18
+      (2L, "t", "en", "src18"))  // host 2: rules /src2,/src9 → allowed
+      .toDF("doc_id", "text", "lang", "source")
+    val got = UrlOps.w5Frame(docs, UrlOps.robotsRules(spark))
+      .select("doc_id", "blocked", "rule")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((true, Some("/src0"))))
+    assert(got(13L) == ((false, None)))
+    assert(got(7L) == ((true, Some("/src14"))))
+    assert(got(1L) == ((true, Some("/src1"))), "robots prefix match covers /src18")
+    assert(got(2L) == ((false, None)), "rules are per-host")
+  }
+
   test("w2 host rollup: every doc lands in exactly one of the 13 hosts") {
     val w2 = UrlOps.w2HostStats(spark, "/root/testdata/sf0.01")
       .as[(String, Long, Long)].collect()
