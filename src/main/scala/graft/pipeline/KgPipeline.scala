@@ -104,6 +104,25 @@ final class KgPipeline(spark: SparkSession, root: String,
     if (delta) runDelta(newPages, pagesSnap) else runFrom(pagesSnap)
   }
 
+  /** All of the pipeline's tables, for maintenance sweeps. */
+  def tables: Seq[MergeTable] = Seq(pagesTbl, labelsTbl, idFlagsTbl, textsTbl,
+    mentionsTbl, linksTbl, triplesTbl, docsTbl, vecsTbl, sameAsTbl,
+    canonTbl, nodesTbl, edgesTbl)
+
+  /** Run-end table maintenance: expire every table's snapshot history down
+    * to its newest `keepLast` manifests (reachability GC —
+    * [[MergeTable.expireSnapshots]]). Safe AFTER a successful run: every
+    * stage reads tables at their CURRENT snapshot (stage markers gate on
+    * ids, not on historical reads), and the current snapshot always
+    * survives — only time travel into reclaimed history is lost. Without
+    * this sweep an incremental deployment grows by its churn rate forever.
+    * Returns (expired manifests, deleted snapshot dirs) across all tables.
+    */
+  def expireHistory(keepLast: Int = 2): (Int, Int) = {
+    val results = tables.filter(_.exists).map(_.expireSnapshots(keepLast))
+    (results.map(_._1.size).sum, results.map(_._2.size).sum)
+  }
+
   private def runFrom(pagesSnap: Long): Long = {
 
     // Option-backed memo instead of lazy vals: the finally block below must

@@ -268,6 +268,53 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(calls == 1, s"expected 1 gather-join per run, saw $calls")
   }
 
+  test("expireHistory after runs: current reads identical, churn reclaimed, pipeline keeps working") {
+    val small = 60L
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "kgtest-expire-").toString
+    val p = new KgPipeline(spark, dir, nPages = small)
+    p.run()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def html(payload: String) =
+      (s"""<html><body><script id="wd-entity" type="application/json">$payload</script></body></html>""")
+        .getBytes("UTF-8")
+    val newPayload = PagesGen.entityJson(2, small, mapper)
+      .replace(PagesGen.qid(2), "Q777888")
+      .replace(PagesGen.labelOfIndex(2), "Expiry Batch Entity")
+    p.ingest(Seq(
+      (PagesGen.urlOf("Q777888"), new java.sql.Timestamp(2100000000000L),
+        html(newPayload), "", "en")).toDF("url", "warc_ts", "html", "text", "lang"),
+      delta = true)
+    assert(p.tables.exists(t => t.exists && t.snapshots.size > 1),
+      "the delta run must have created history to expire")
+
+    def dump(t: graft.tables.MergeTable): Seq[String] = {
+      val df = t.read()
+      // binary columns (pages.html) stringify as array identity — hash them
+      val cols = df.schema.fields.sortBy(_.name).map { f =>
+        if (f.dataType == org.apache.spark.sql.types.BinaryType) md5(col(f.name)).as(f.name)
+        else col(f.name)
+      }
+      df.select(cols.toSeq: _*).collect().map(_.toString).sorted.toSeq
+    }
+    val before = p.tables.filter(_.exists).map(dump)
+    val (manifests, dirs) = p.expireHistory(keepLast = 1)
+    assert(manifests > 0, "expiry must reclaim the pre-delta manifests")
+    p.tables.filter(_.exists).foreach(t => assert(t.snapshots.size == 1, t.path))
+    assert(p.tables.filter(_.exists).map(dump) == before,
+      s"current reads must be identical (reclaimed $manifests manifests, $dirs dirs)")
+
+    // the pipeline still merges normally after the sweep
+    val nextPayload = PagesGen.entityJson(3, small, mapper)
+      .replace(PagesGen.qid(3), "Q777889")
+      .replace(PagesGen.labelOfIndex(3), "Post Expiry Entity")
+    p.ingest(Seq(
+      (PagesGen.urlOf("Q777889"), new java.sql.Timestamp(2100000000001L),
+        html(nextPayload), "", "en")).toDF("url", "warc_ts", "html", "text", "lang"),
+      delta = true)
+    assert(p.textsTbl.read().filter(col("id") === "Q777889").count() == 1)
+  }
+
   test("delta ingest == full-recompute ingest (same batch, same final tables)") {
     // two identical roots, same initial corpus; then the same batch ingested
     // delta-only vs full-recompute — every table must converge identically
