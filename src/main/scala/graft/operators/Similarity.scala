@@ -261,8 +261,14 @@ object Similarity {
     * [[embeddingNearDup]] (LSH-bucketed) is the both-sides-large scale path
     * and is recall-tested against this.
     */
-  def embeddingNearDupExact(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val e = emb(spark, dir).withColumn("_n", norm(col("embedding")))
+  def embeddingNearDupExact(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
+    exactNearDupPairs(emb(spark, dir).withColumn("_n", norm(col("embedding"))), threshold)
+
+  /** [[embeddingNearDupExact]] over a prepared (vec_id, embedding, _n)
+    * frame — the seam that lets the s7 audit reuse its already-persisted
+    * frame instead of re-scanning the parquet.
+    */
+  def exactNearDupPairs(e: DataFrame, threshold: Double): DataFrame = {
     val l = e.select(col("vec_id").as("a"), col("embedding").as("va"), col("_n").as("_na"))
     val r = e.select(col("vec_id").as("b"), col("embedding").as("vb"), col("_n").as("_nb"))
     l.join(broadcast(r), col("a") < col("b"))
@@ -327,9 +333,9 @@ object Similarity {
     }.reduce(_ unionByName _).dropDuplicates("a", "b").persist()
     // truth DERIVES from the s3 baseline itself (not an inline replica), so
     // the audit can never drift from the comparison semantics it claims to
-    // measure against
-    val truth = embeddingNearDupExact(spark, dir, threshold)
-      .select("a", "b").persist()
+    // measure against; the shared seam reuses the persisted frame rather
+    // than re-scanning the parquet
+    val truth = exactNearDupPairs(e, threshold).select("a", "b").persist()
     val nVec = e.count()
     val nCand = cand.count()
     val nTruth = truth.count()

@@ -22,11 +22,17 @@ import org.apache.spark.sql.functions._
   *  - canon:    iterative CC self-joins
   * Everything else is narrow and pipelines into the scan.
   */
+/** @param retention when set, every successful `run`/`ingest` ends with
+  *   [[expireHistory]]`(keepLast = retention.get)` — the storage-bound
+  *   mode for incremental deployments. Opt-in (None keeps full history)
+  *   because expiry trades time travel into reclaimed snapshots away.
+  */
 final class KgPipeline(spark: SparkSession, root: String,
                        nPages: Long = 2000, linkK: Int = 5,
                        failAfterStage: Option[String] = None,
                        mentionBudgetChars: Long = Linker.DefaultBroadcastBudgetChars,
-                       aliasEdgeMaxIds: Option[Int] = None) {
+                       aliasEdgeMaxIds: Option[Int] = None,
+                       retention: Option[Int] = None) {
   import spark.implicits._
 
   val pagesTbl = new MergeTable(spark, s"$root/pages", Seq("url"))
@@ -78,7 +84,9 @@ final class KgPipeline(spark: SparkSession, root: String,
       snap
     }
     checkFail("ingest")
-    runFrom(pagesSnap)
+    val out = runFrom(pagesSnap)
+    retention.foreach(expireHistory(_))
+    out
   }
 
   /** Incremental ingest: MERGE a batch of new/changed pages (upsert by url)
@@ -101,7 +109,9 @@ final class KgPipeline(spark: SparkSession, root: String,
     */
   def ingest(newPages: org.apache.spark.sql.DataFrame, delta: Boolean = false): Long = {
     val pagesSnap = pagesTbl.merge(newPages)
-    if (delta) runDelta(newPages, pagesSnap) else runFrom(pagesSnap)
+    val out = if (delta) runDelta(newPages, pagesSnap) else runFrom(pagesSnap)
+    retention.foreach(expireHistory(_))
+    out
   }
 
   /** All of the pipeline's tables, for maintenance sweeps. */

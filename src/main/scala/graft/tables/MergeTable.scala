@@ -126,17 +126,21 @@ final class MergeTable(spark: SparkSession, val path: String,
   }
 
   /** All snapshot ids, oldest first. */
-  def snapshots: Seq[Long] = {
-    val dir = Paths.get(path, "_manifests")
+  /** Numeric ids parsed from a directory's entries via `pattern`'s first
+    * group (shared by the manifest and data-dir listings).
+    */
+  private def listIds(dir: java.nio.file.Path, pattern: scala.util.matching.Regex): Seq[Long] =
     if (!Files.exists(dir)) Seq.empty
     else {
       val stream = Files.list(dir)
       try stream.toArray.map(_.toString)
-        .flatMap(s => "v(\\d+)\\.json$".r.findFirstMatchIn(s).map(_.group(1).toLong))
+        .flatMap(s => pattern.findFirstMatchIn(s).map(_.group(1).toLong))
         .sorted.toSeq
       finally stream.close()
     }
-  }
+
+  def snapshots: Seq[Long] =
+    listIds(Paths.get(path, "_manifests"), "v(\\d+)\\.json$".r)
 
   def readOrEmpty(schemaOf: DataFrame): DataFrame =
     if (exists) read() else spark.createDataFrame(
@@ -291,13 +295,15 @@ final class MergeTable(spark: SparkSession, val path: String,
 
   /** Iceberg-style snapshot expiry + orphan-file GC (`expire_snapshots` +
     * `remove_orphan_files`): keep the newest `keepLast` manifests (always
-    * including current), delete every older manifest, then remove any
-    * `data/snap-N` directory no SURVIVING manifest's bucket map references.
-    * REACHABILITY, not age, decides data deletion: an untouched bucket's
+    * including current), delete every older manifest, then remove every
+    * `data/snap-N/_bucket=K` directory no SURVIVING manifest's bucket map
+    * references (and any snap dir left empty). REACHABILITY, not age,
+    * decides data deletion — per (snapshot, bucket): an untouched bucket's
     * file written by the very first snapshot survives as long as a kept
-    * manifest still points at it — only data exclusively owned by expired
-    * history is reclaimed. Time travel to a kept snapshot keeps working;
-    * to an expired one it fails fast on the missing manifest.
+    * manifest still points at it, while that same dir's bucket copies that
+    * later merges superseded are reclaimed. Time travel to a kept snapshot
+    * keeps working; to an expired one it fails fast on the missing
+    * manifest.
     *
     * At 100 TB this is the maintenance job that bounds table storage:
     * every merge rewrites touched buckets under a new snapshot, so without
@@ -314,30 +320,37 @@ final class MergeTable(spark: SparkSession, val path: String,
     val all = snapshots
     val keep = all.takeRight(keepLast).toSet + cur
     val expired = all.filterNot(keep)
-    val referenced: Set[Long] = keep.flatMap(v => readManifest(v)._2.values)
+    // reachability is per (owning snapshot, bucket) — exactly what the kept
+    // manifests' bucket maps record — so a surviving snapshot dir sheds the
+    // individual bucket copies later merges superseded (the initial
+    // full-load dir would otherwise retain a stale copy of every bucket
+    // rewritten since, for the life of the table)
+    // .toSeq before the swap: mapping the Map directly would key the result
+    // by snapshot and silently collapse every bucket sharing one
+    val referenced: Set[(Long, Int)] =
+      keep.flatMap(v => readManifest(v)._2.toSeq.map { case (b, snap) => (snap, b) })
     expired.foreach(v => Files.deleteIfExists(manifestFile(v)))
-    val dataDir = Paths.get(path, "data")
-    val onDisk: Seq[Long] =
-      if (!Files.exists(dataDir)) Seq.empty
-      else {
-        val st = Files.list(dataDir)
-        try st.toArray.map(_.toString)
-          .flatMap(s => "snap-(\\d+)$".r.findFirstMatchIn(s).map(_.group(1).toLong))
-          .toSeq
-        finally st.close()
-      }
-    // a kept snapshot's dir can itself be unreferenced (a merge that only
-    // carried pointers forward writes no files) — keep it anyway out of
-    // caution; everything else unreferenced is provably unreachable
-    val orphans = onDisk.filterNot(referenced).filterNot(keep).sorted
-    orphans.foreach { snap =>
-      val dir = Paths.get(path, s"data/snap-$snap")
+    def deleteTree(dir: java.nio.file.Path): Unit = {
       val walk = Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => Files.deleteIfExists(p))
       finally walk.close()
     }
-    (expired, orphans)
+    val onDisk = listIds(Paths.get(path, "data"), "snap-(\\d+)$".r)
+    val deletedDirs = onDisk.flatMap { snap =>
+      val snapDir = Paths.get(path, s"data/snap-$snap")
+      listIds(snapDir, "_bucket=(\\d+)$".r)
+        .filterNot(b => referenced((snap, b.toInt)))
+        .foreach(b => deleteTree(snapDir.resolve(s"_bucket=$b")))
+      // drop the dir itself once nothing referenced remains — unless it is
+      // a KEPT snapshot's own dir (a merge that only carried pointers
+      // forward writes no files; keep its empty shell out of caution)
+      if (listIds(snapDir, "_bucket=(\\d+)$".r).isEmpty && !keep(snap)) {
+        deleteTree(snapDir)
+        Some(snap)
+      } else None
+    }
+    (expired, deletedDirs)
   }
 
   /** Atomic-ish current pointer flip. */

@@ -304,15 +304,19 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(p.tables.filter(_.exists).map(dump) == before,
       s"current reads must be identical (reclaimed $manifests manifests, $dirs dirs)")
 
-    // the pipeline still merges normally after the sweep
+    // the pipeline still merges normally after the sweep — and with
+    // `retention` set, ingest runs the sweep itself (no manual call)
+    val auto = new KgPipeline(spark, dir, nPages = small, retention = Some(1))
     val nextPayload = PagesGen.entityJson(3, small, mapper)
       .replace(PagesGen.qid(3), "Q777889")
       .replace(PagesGen.labelOfIndex(3), "Post Expiry Entity")
-    p.ingest(Seq(
+    auto.ingest(Seq(
       (PagesGen.urlOf("Q777889"), new java.sql.Timestamp(2100000000001L),
         html(nextPayload), "", "en")).toDF("url", "warc_ts", "html", "text", "lang"),
       delta = true)
-    assert(p.textsTbl.read().filter(col("id") === "Q777889").count() == 1)
+    assert(auto.textsTbl.read().filter(col("id") === "Q777889").count() == 1)
+    auto.tables.filter(_.exists).foreach(t =>
+      assert(t.snapshots.size == 1, s"retention sweep must run at ingest end: ${t.path}"))
   }
 
   test("delta ingest == full-recompute ingest (same batch, same final tables)") {

@@ -135,6 +135,19 @@ class MergeTableSpec extends AnyFunSuite {
     assert(deleted == Seq(2L), s"only dead churn reclaimed, got $deleted")
     assert(Files.exists(Paths.get(path, "data", "snap-1")))
     assert(!Files.exists(Paths.get(path, "data", "snap-2")))
+    // reachability is per (snap, bucket): snap-1's copy of k1's bucket was
+    // superseded by snap-3, so that ONE subdir is reclaimed from the
+    // surviving dir while its other buckets stay
+    val k1Bucket = Seq("k1").toDF("id")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("id")),
+        org.apache.spark.sql.functions.lit(8)).cast("int"))
+      .collect().head.getInt(0)
+    assert(!Files.exists(Paths.get(path, "data", "snap-1", s"_bucket=$k1Bucket")),
+      "superseded bucket copy inside a surviving snap dir must be reclaimed")
+    assert(Files.list(Paths.get(path, "data", "snap-1")).toArray
+      .map(_.toString).count(_.contains("_bucket=")) > 0,
+      "still-referenced buckets of snap-1 survive")
 
     // current read is bit-identical; time travel to the kept snapshot works,
     // to expired history fails fast
