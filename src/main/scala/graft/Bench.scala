@@ -63,7 +63,16 @@ object Bench {
     // the failures as their own field instead
     val failed = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = best.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds,"failed":${failed.mkString("[", ",", "]")}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds,"failed":${failed.mkString("[", ",", "]")}}"""
+    println(line)
+    // stdout under sbt arrives prefixed "[info] ", which machine parsers
+    // reject — emit the same line through two unprefixed channels: a file
+    // (SPARK_GRAFT_BENCH_OUT, default BENCH/last.json) and raw stderr
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/last.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(outPath, line + "\n")
+    System.err.println(line)
     spark.stop()
   }
 }

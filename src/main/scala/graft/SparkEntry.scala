@@ -75,6 +75,9 @@ object SparkEntry {
     // per-document keyword extraction: all-integer salience ranking (no
     // transcendental in the ordering), IEEE-exact displayed score
     "d15_keywords" -> ((s, d) => T.d15Keywords(s, d)),
+    // CCNet-style LM quality filter: in-corpus bigram-LM stand-in, per-doc
+    // mean negative log gram frequency + fixed-threshold keep verdict
+    "d16_perplexity_filter" -> ((s, d) => T.d16PerplexityFilter(s, d)),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -126,6 +129,9 @@ object SparkEntry {
     "lid1_langid_fingerprint" -> ((s, d) => LangId.detectDocs(s, d)),
     // multimodal plumbing
     "mm1_media_stats" -> ((s, d) => graft.multimodal.Media.mediaStats(s, d)),
+    // media near-dup: pHash stand-in bucketed through the dd2 bit-block
+    // machinery; finds the planted one-byte-flipped twin assets
+    "mm2_media_neardup" -> ((s, d) => graft.multimodal.Media.mediaNearDup(s, d)),
     // streaming semantics in batch mode (sum rounded so the DuckDB oracle's
     // per-session summation order can't flip a low bit)
     "st1_sessionize" -> ((s, d) => {
@@ -199,6 +205,10 @@ object SparkEntry {
     // crawl-1 assignment via a contracted-graph CC (world never recomputed);
     // oracle recomputes components from scratch over base ∪ delta
     "kg21_canon_delta" -> (KgQueries.canonDelta _),
+    // exact-dup groups over the two-crawl digests — the d3 shape on a
+    // corpus with GUARANTEED duplicates (unchanged re-serves), so the
+    // exact-dedup gate is non-vacuous (d3's driver fixture has none)
+    "kg23_exact_dup_groups" -> (KgQueries.exactDupGroups _),
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
@@ -763,6 +773,30 @@ object SparkEntry {
         |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  CAST(salience AS DOUBLE) AS salience, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5""".stripMargin,
+    // d16: the oracle trains the same in-corpus bigram LM (the d11 gram
+    // recipe) and replays score = ln(T) - avg(ln c); score rounds to 6dp
+    // with the zero-sign guard, the keep verdict compares UNROUNDED
+    "d16_perplexity_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM t),
+        |cnt AS (SELECT g, count(*) AS c FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM g),
+        |s AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    ln(tot.t) - sum(ln(cnt.c)) / count(*) AS sc
+        |  FROM g JOIN cnt USING (g) CROSS JOIN tot
+        |  GROUP BY doc_id, tot.t)
+        |SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+        |  round(s.sc, 6) + 0 AS score,
+        |  coalesce(s.sc <= 8.0, false) AS keep
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)
@@ -827,7 +861,10 @@ object SparkEntry {
         |  (n_docs_with_gram * 2 > n_docs) AS boilerplate
         |FROM top JOIN n USING (host) WHERE rn = 1""".stripMargin),
     // w5: the oracle rebuilds the same arithmetic rule table with range(13)
-    // and replays the prefix match + min-rule verdict over the canon chain
+    // and replays the prefix match + RFC 9309 longest-match precedence with
+    // a per-doc row_number window ordered (length DESC, rtype ASC — 'allow'
+    // < 'disallow' encodes the allow-wins tie rule — rpath ASC), exactly
+    // the engine's min(struct) argmax
     "w5_robots_filter" -> urlCanonSql(
       """,
         |d AS (
@@ -837,19 +874,26 @@ object SparkEntry {
         |  FROM c7),
         |rules AS (
         |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com' AS rhost,
-        |         '/src' || CAST(k AS VARCHAR) AS disallow
+        |         'disallow' AS rtype, '/src' || CAST(k AS VARCHAR) AS rpath
         |  FROM range(13) t(k)
         |  UNION ALL
         |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com',
-        |         '/src' || CAST((k + 7) % 20 AS VARCHAR)
-        |  FROM range(13) t(k)),
+        |         'disallow', '/src' || CAST((k + 7) % 20 AS VARCHAR)
+        |  FROM range(13) t(k)
+        |  UNION ALL
+        |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com',
+        |         'allow', '/src' || CAST(k AS VARCHAR) || '/doc'
+        |  FROM range(13) t(k) WHERE k % 3 = 0),
         |m AS (
-        |  SELECT d.doc_id, d.host, d.path, min(r.disallow) AS rule
+        |  SELECT d.doc_id, d.host, d.path, r.rtype, r.rpath,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY length(r.rpath) DESC, r.rtype ASC, r.rpath ASC) AS rn
         |  FROM d LEFT JOIN rules r
-        |    ON d.host = r.rhost AND starts_with(d.path, r.disallow)
-        |  GROUP BY 1, 2, 3)
-        |SELECT doc_id, host, path, rule IS NOT NULL AS blocked, rule
-        |FROM m""".stripMargin),
+        |    ON d.host = r.rhost AND starts_with(d.path, r.rpath))
+        |SELECT doc_id, host, path,
+        |  coalesce(rtype = 'disallow', false) AS blocked,
+        |  rpath AS rule, rtype AS rule_type
+        |FROM m WHERE rn = 1""".stripMargin),
     "dd1_minhash_lsh" -> minhashLshSql("",
       "SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5"),
     // dd4: incremental dedup == exactly the dd1 pairs that involve >= 1
@@ -1436,6 +1480,14 @@ object SparkEntry {
          |  min_by(digest, warc_ts) <> max_by(digest, warc_ts) AS changed
          |FROM read_parquet('$OF/kg19_snapshots/*.parquet')
          |GROUP BY url""".stripMargin,
+    // kg23: exact-dup groups replayed from the materialized two-crawl
+    // digest frame — plain groupBy/HAVING; non-empty by construction
+    // (unchanged re-serves are byte-identical), unlike the vacuous d3 gate
+    "kg23_exact_dup_groups" ->
+      s"""SELECT digest, count(*) AS n_copies,
+         |  count(DISTINCT url) AS n_urls, min(url) AS rep_url
+         |FROM read_parquet('$OF/kg23_snapshots/*.parquet')
+         |GROUP BY digest HAVING count(*) > 1""".stripMargin,
     // kg20: SCD-2 validity intervals replayed from the materialized
     // (qid, value, ts) observation frame — change points via lag, interval
     // ends via lead, exactly the engine's two stacked windows
@@ -1531,5 +1583,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'video_frames' AS kind, count(*) AS n, CAST(sum(t_ms) AS BIGINT) AS sum_w
         |FROM read_parquet('$OF/mm1_frames/*.parquet')""".stripMargin,
+    // mm2: the byte→pHash kernel is the non-SQL half (materialized as
+    // (doc_id, sig)); the oracle replays the dd2 recipe — 16-bit block
+    // bucket join + exact hamming — over the signature frame
+    "mm2_media_neardup" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, sig FROM read_parquet('$OF/mm2_sigs/*.parquet')),
+         |blk AS (
+         |  SELECT doc_id, b AS block, (sig >> CAST(b * 16 AS INT)) & 65535 AS key
+         |  FROM s CROSS JOIN range(4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM blk x JOIN blk y ON x.block = y.block AND x.key = y.key
+         |    AND x.doc_id < y.doc_id)
+         |SELECT c.a, c.b, bit_count(xor(sa.sig, sb.sig)) AS hamming
+         |FROM cand c
+         |JOIN s sa ON sa.doc_id = c.a
+         |JOIN s sb ON sb.doc_id = c.b
+         |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3""".stripMargin,
   )
 }

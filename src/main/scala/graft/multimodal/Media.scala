@@ -89,6 +89,77 @@ object Media {
     }
   }
 
+  /** Asset-id offset of the planted near-identical twins (mm2 fixture). */
+  val TwinIdOffset = 1000000L
+
+  /** Deterministic near-identical TWIN assets: every 16th asset re-appears
+    * under `asset_id + TwinIdOffset` with exactly ONE byte flipped — the
+    * planted near-dup family the mm2 gate must find (a re-encoded or
+    * single-pixel-edited image in a real pipeline).
+    */
+  def assetsWithTwins(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val base = assets(spark, dir)
+    val twins = base.filter((a: MediaAsset) => a.asset_id % 16 == 0)
+      .map { a =>
+        val b = a.bytes.clone()
+        b(b.length / 2) = (b(b.length / 2) ^ 0x01).toByte
+        a.copy(asset_id = a.asset_id + TwinIdOffset, bytes = b)
+      }
+    base.unionByName(twins)
+  }
+
+  /** Perceptual-hash STAND-IN over the raw bytes (a real pipeline plugs a
+    * DCT pHash of the DECODED image here): 64 equal byte regions, bit i =
+    * lsb of md5(region i). Deterministic, md5-derived, and — the property
+    * that makes it a usable pHash analog — LOCAL: a single corrupted byte
+    * touches one region, so it moves AT MOST ONE bit (spec-pinned), while
+    * unrelated assets differ in ~32. The bucket/verify machinery downstream
+    * is exactly what the real hash would ride.
+    */
+  def pHashStub(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = bytes.length
+    val regionLen = math.max(1, (n + 63) / 64)
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      val from = math.min(b * regionLen, n)
+      val until = math.min(from + regionLen, n)
+      md.reset()
+      md.update(bytes, from, until - from)
+      if ((md.digest()(0) & 1) == 1) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** mm2: media near-dup pairs — pHash signatures bucketed through the dd2
+    * bit-block machinery ([[graft.operators.Dedup.simhashBlocksOf]] /
+    * `simhashNearDupFrame` verbatim): candidates must share one of
+    * maxDist+1 16-bit blocks (pigeonhole-sound), survivors filter on true
+    * hamming distance. Under graft.Verify the (asset_id, sig) frame is
+    * materialized and the DuckDB oracle replays the block join + hamming
+    * half as a hard check; the byte→sig kernel is the documented non-SQL
+    * half, locality-pinned by MediaSpec.
+    *
+    * 100 TB shape: signatures are computed in the decode pass (one scan of
+    * the binary column — bytes never shuffle); only (id, 8-byte sig) rows
+    * enter the bucket join.
+    */
+  def mediaNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    import graft.operators.{Dedup, OracleFrames}
+    import spark.implicits._
+    val sigs = OracleFrames.materialize(
+      assetsWithTwins(spark, dir)
+        .map(a => (a.asset_id, pHashStub(a.bytes))).toDF("doc_id", "sig"),
+      "mm2_sigs")
+    val blocks = Dedup.simhashBlocksOf(sigs, maxDist).persist()
+    val out = Dedup.simhashNearDupFrame(blocks, maxDist).localCheckpoint(true)
+    blocks.unpersist()
+    out
+  }
+
   /** Summary query: decoded media stats per kind (the queries() entry). */
   def mediaStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.OracleFrames

@@ -17,9 +17,14 @@ import org.apache.spark.sql.expressions.Window
   * BNLJ or cartesian), and no per-key collect. Payloads ride as one struct
   * column each, so the sort moves each row once regardless of column count.
   * A key whose history AND probe stream are both huge lands in one
-  * partition — at that skew, pre-split the key by time range with boundary
-  * carry-over (same salting discipline as the J2 join); not needed at any
-  * tested scale.
+  * partition — `timeSplits > 1` is the hot-key mitigation: each key's
+  * timeline is cut into that many equal time ranges, the window partitions
+  * by (key, range), and each range's carry-in (the last right payload of
+  * any EARLIER range) rides a bounded per-key boundary frame of ≤
+  * timeSplits rows — so the hot key's sort spreads over timeSplits
+  * partitions while every result stays bit-identical to the single-window
+  * form (spec-pinned on a 90%-one-key fixture, plan-pinned to partition by
+  * both columns).
   *
   * Contract: right rows must be unique per (key, time) — pre-reduce ties
   * upstream (the q20 query keeps the max-orderkey row per day) or the
@@ -31,7 +36,9 @@ object AsOfJoin {
 
   def asOfBackward(left: DataFrame, right: DataFrame,
                    leftKey: Column, rightKey: Column,
-                   leftTime: Column, rightTime: Column): DataFrame = {
+                   leftTime: Column, rightTime: Column,
+                   timeSplits: Int = 1): DataFrame = {
+    require(timeSplits >= 1, s"timeSplits must be >= 1, got $timeSplits")
     val leftCols = left.columns
     val rightCols = right.columns
     require(leftCols.toSet.intersect(rightCols.toSet).isEmpty,
@@ -59,11 +66,54 @@ object AsOfJoin {
         lit(null).cast(lType).as("_l"), struct(rightCols.map(col): _*).as("_r"))
     val u = l.unionByName(r)
 
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = u
-      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_tag") === 1)
+    val matched =
+      if (timeSplits == 1) {
+        val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+          .filter(col("_tag") === 1)
+      } else {
+        // hot-key pre-split: cut each key's [min_t, max_t] into timeSplits
+        // equal half-open ranges. The range index `_s` is a pure function of
+        // (key stats, _t), so every row lands in exactly one range and
+        // ranges tile the timeline.
+        val stats = u.groupBy("_k").agg(
+          min(unix_micros(col("_t"))).as("_lo"),
+          max(unix_micros(col("_t"))).as("_hi"))
+        // exact BIGINT `div` arithmetic: width >= 1 and the index is
+        // monotone in _t, so ranges tile the timeline in time order (an
+        // earlier range's rows are strictly earlier than a later range's)
+        val withS = u.join(stats, Seq("_k"))
+          .withColumn("_s",
+            least(expr(s"(unix_micros(_t) - _lo) div ((_hi - _lo) div $timeSplits + 1)"),
+              lit(timeSplits - 1L)).cast("long"))
+          .drop("_lo", "_hi")
+        // boundary carry-over: the last right payload of each (key, range) —
+        // right rows are unique per (key, time) by contract, so max_by is
+        // deterministic — then, per key, the payload carried INTO range s =
+        // last non-null boundary payload over ranges < s. The grid frame is
+        // ≤ timeSplits rows per key (built from the stats frame, never the
+        // data), so this window is bounded no matter how hot the key is.
+        val lastPerRange = withS.filter(col("_tag") === 0)
+          .groupBy("_k", "_s").agg(max_by(col("_r"), col("_t")).as("_lr"))
+        val grid = stats.select(col("_k"),
+            explode(sequence(lit(0L), lit(timeSplits - 1L))).as("_s"))
+          .join(lastPerRange, Seq("_k", "_s"), "left")
+        val wCarry = Window.partitionBy("_k").orderBy("_s")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = grid
+          .withColumn("_carry", last(col("_lr"), ignoreNulls = true).over(wCarry))
+          .select(col("_k"), col("_s"), col("_carry"))
+        // per-(key, range) window — the hot key now spans timeSplits
+        // partitions; rows with no right match inside their own range fall
+        // back to the carried boundary payload
+        val w = Window.partitionBy("_k", "_s").orderBy(col("_t"), col("_tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withS.join(carries, Seq("_k", "_s"))
+          .withColumn("_m",
+            coalesce(last(col("_r"), ignoreNulls = true).over(w), col("_carry")))
+          .filter(col("_tag") === 1)
+      }
     val matchedOut = matched.select(
       leftCols.map(c => col(s"_l.$c").as(c)) ++
         rightCols.map(c => col(s"_m.$c").as(c)): _*)

@@ -236,22 +236,32 @@ object Dedup {
     * A fixed block count with a free maxDist would silently lose recall.
     */
   def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
-    val nBlocks = maxDist + 1
-    val width = 64 / nBlocks // last block absorbs the remainder bits
-    val d = simhashSigs(spark, dir)
-    val blocks = (0 until nBlocks).map { b =>
-      val lo = b * width
-      val hi = if (b == nBlocks - 1) 64 else (b + 1) * width
-      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
-      d.select(col("doc_id"), col("sig"),
-        lit(b).as("block"), shiftright(col("sig"), lo).bitwiseAND(lit(mask)).as("key"))
-    }.reduce(_ unionByName _).persist() // feeds both self-join sides
+    val blocks = simhashBlocksOf(simhashSigs(spark, dir), maxDist)
+      .persist() // feeds both self-join sides
     // materialize the (small) survivor pairs, then release the block cache
     // (the per-call lifecycle rule — see minhashLsh)
     val out = simhashNearDupFrame(blocks, maxDist).localCheckpoint(true)
     blocks.unpersist()
     out
+  }
+
+  /** Equal-width bit-block frame (doc_id, sig, block, key) over ANY
+    * (doc_id, sig) signature frame — the candidate-bucket construction is
+    * signature-agnostic, so the media pHash family (mm2) reuses it
+    * unchanged. Block count derives from maxDist (pigeonhole soundness —
+    * see [[simhashNearDup]]).
+    */
+  def simhashBlocksOf(sigs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks // last block absorbs the remainder bits
+    (0 until nBlocks).map { b =>
+      val lo = b * width
+      val hi = if (b == nBlocks - 1) 64 else (b + 1) * width
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      sigs.select(col("doc_id"), col("sig"),
+        lit(b).as("block"), shiftright(col("sig"), lo).bitwiseAND(lit(mask)).as("key"))
+    }.reduce(_ unionByName _)
   }
 
   /** The block-bucket candidate join over a (pre-persisted) block frame. */

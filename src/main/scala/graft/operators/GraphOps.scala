@@ -13,12 +13,23 @@ object GraphOps {
 
   /** Weighted co-occurrence edges from a bipartite (url, qid) frame: a pair
     * of entities is an edge iff they appear on ≥ `minShared` common pages.
-    * The url-side join is the fan-out point — per-url entity counts are
-    * bounded upstream by the mention cap, the same guard kg2 documents.
     * Returns (a, b, w) with a < b.
+    *
+    * The pair expansion is O(k²) per url — the one quadratic point in this
+    * plan, so the bound is ENFORCED here, not assumed of the caller (this
+    * is a public operator; the upstream mention cap kg2 documents protects
+    * the kg queries, but any other frame could carry a hub page). A url
+    * with more than `maxPerUrl` entities fails loudly by default (the
+    * RangeJoin explosion-guard discipline: one 10k-entity hub row would
+    * emit ~50M pairs); `sliceOverflow = true` instead keeps the
+    * lexicographically first `maxPerUrl` qids — deterministic, because the
+    * per-url set is sorted before the slice.
     */
   def cooccurEdges(urlQid: DataFrame, minShared: Int,
-                   assumeDistinct: Boolean = false): DataFrame = {
+                   assumeDistinct: Boolean = false,
+                   maxPerUrl: Int = 10000,
+                   sliceOverflow: Boolean = false): DataFrame = {
+    require(maxPerUrl >= 2, s"maxPerUrl must be >= 2, got $maxPerUrl")
     val spark = urlQid.sparkSession
     import spark.implicits._
     // group once and expand pairs narrow — a url self-join shuffles the
@@ -29,8 +40,16 @@ object GraphOps {
     (if (assumeDistinct) urlQid.select("url", "qid")
      else urlQid.select("url", "qid").distinct())
       .groupBy("url").agg(sort_array(collect_set(col("qid"))).as("qs"))
-      .select(col("qs")).as[Seq[String]]
-      .flatMap { qs =>
+      .select(col("url"), col("qs")).as[(String, Seq[String])]
+      .flatMap { case (url, qs0) =>
+        val qs =
+          if (qs0.size <= maxPerUrl) qs0
+          else if (sliceOverflow) qs0.take(maxPerUrl)
+          else throw new IllegalStateException(
+            s"cooccurEdges: url '$url' carries ${qs0.size} entities " +
+              s"(> maxPerUrl=$maxPerUrl) — one such hub row emits " +
+              s"~${qs0.size.toLong * (qs0.size - 1) / 2} pairs; raise " +
+              "maxPerUrl or pass sliceOverflow=true")
         for { i <- qs.indices.iterator; j <- (i + 1 until qs.size).iterator }
           yield (qs(i), qs(j))
       }
@@ -143,32 +162,37 @@ object GraphOps {
     * stops early when a frontier empties (cannot change the result).
     * `seeds` = one `id` column; returns (seed, id, dist), dist 0..maxHops.
     */
-  def bfsDistances(edges0: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val edges = edges0.select("src", "dst").distinct().persist()
-    edges.count()
-    var known = seeds.select(col("id").as("seed"))
-      .withColumn("id", col("seed")).withColumn("dist", lit(0))
-      .localCheckpoint(eager = true)
-    var frontier = known
-    var hop = 1
-    var live = true
-    while (live && hop <= maxHops) {
-      val next = frontier
-        .join(edges, frontier("id") === edges("src"))
-        .select(col("seed"), col("dst").as("id"), lit(hop).as("dist"))
-        .distinct()
-        .join(known, Seq("seed", "id"), "left_anti")
-        .localCheckpoint(eager = true) // truncate lineage per hop
-      live = !next.isEmpty
-      if (live) {
-        known = known.unionByName(next) // unions of checkpoints: no recompute
-        frontier = next
+  /** Pass `checkpointDir` for reliable (executor-loss-surviving) per-hop
+    * checkpoints on a real cluster — the same [[graft.tables.Checkpoints]]
+    * contract as [[pageRankInt]]; None keeps the cheap localCheckpoint of
+    * the single-JVM sandbox. Both modes are spec-pinned identical.
+    */
+  def bfsDistances(edges0: DataFrame, seeds: DataFrame, maxHops: Int,
+                   checkpointDir: Option[String] = None): DataFrame =
+    graft.tables.Checkpoints.withDir(edges0.sparkSession, checkpointDir) { materialize =>
+      val edges = edges0.select("src", "dst").distinct().persist()
+      edges.count()
+      var known = materialize(seeds.select(col("id").as("seed"))
+        .withColumn("id", col("seed")).withColumn("dist", lit(0)))
+      var frontier = known
+      var hop = 1
+      var live = true
+      while (live && hop <= maxHops) {
+        val next = materialize(frontier
+          .join(edges, frontier("id") === edges("src"))
+          .select(col("seed"), col("dst").as("id"), lit(hop).as("dist"))
+          .distinct()
+          .join(known, Seq("seed", "id"), "left_anti")) // truncate lineage per hop
+        live = !next.isEmpty
+        if (live) {
+          known = known.unionByName(next) // unions of checkpoints: no recompute
+          frontier = next
+        }
+        hop += 1
       }
-      hop += 1
+      edges.unpersist()
+      known
     }
-    edges.unpersist()
-    known
-  }
 
   /** Triangle enumeration with degree-ordered orientation (compact-forward):
     * every undirected edge is oriented from its (degree, id)-smaller
@@ -182,7 +206,9 @@ object GraphOps {
     * Input: (a, b, ...) undirected edges with a < b. Output: one row per
     * triangle, corners sorted by id — (q1, q2, q3).
     */
-  def triangles(edges0: DataFrame): DataFrame = {
+  def triangles(edges0: DataFrame,
+                checkpointDir: Option[String] = None): DataFrame =
+    graft.tables.Checkpoints.withDir(edges0.sparkSession, checkpointDir) { materialize =>
     // the edge frame feeds the degree count AND both orientation joins, and
     // the oriented frame feeds both wedge sides plus the closing semi-join:
     // persist each for the duration of the call or the upstream subtree
@@ -210,13 +236,12 @@ object GraphOps {
     val e2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
     val wedges = e1.join(e2, Seq("u"))
       .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-    val out = wedges
+    val out = materialize(wedges
       .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "leftsemi")
       .select(array_sort(array(col("u"), col("x"), col("y"))).as("t"))
       .select(element_at(col("t"), 1).as("q1"),
         element_at(col("t"), 2).as("q2"),
-        element_at(col("t"), 3).as("q3"))
-      .localCheckpoint(true)
+        element_at(col("t"), 3).as("q3")))
     edges.unpersist(); oriented.unpersist()
     out
   }

@@ -454,9 +454,17 @@ object KgQueries {
     * that re-asserts the same value extends the open interval, only value
     * CHANGES version. Window-only plan: one shuffle of (qid, value, ts).
     */
-  def tripleScd(spark: SparkSession, dir: String): DataFrame = {
+  def tripleScd(spark: SparkSession, dir: String): DataFrame =
+    Scd.intervals(
+      materializeForOracle(scdObservations(spark, pagesBoth(spark)), "kg20_obs"),
+      Seq("qid"), "value", "ts")
+
+  /** (qid, value, ts) P1082 observations of a pages frame — the kg20 input,
+    * shared with the streaming twin's per-crawl fixtures (CrawlStreamSpec).
+    */
+  def scdObservations(spark: SparkSession, pages: DataFrame): DataFrame = {
     import spark.implicits._
-    val obs = pagesBoth(spark)
+    pages
       .select(col("warc_ts"), col("html"))
       .as[(java.sql.Timestamp, Array[Byte])]
       .flatMap { case (ts, html) =>
@@ -466,7 +474,6 @@ object KgQueries {
           .filter(_.pid == "P1082")
           .map(r => (r.qid, r.valueScalar, ts))
       }.toDF("qid", "value", "ts")
-    Scd.intervals(materializeForOracle(obs, "kg20_obs"), Seq("qid"), "value", "ts")
   }
 
   /** kg22: point-in-time (AS-OF) snapshot read over the kg20 SCD-2 triple
@@ -505,6 +512,24 @@ object KgQueries {
     * independent from-first-principles check that the incremental fold
     * equals the full recompute.
     */
+  /** kg23: exact-duplicate CONTENT groups across the two crawls — the d3
+    * digest-groupBy shape over a corpus that provably contains duplicates:
+    * every unchanged re-crawled page ([[PagesGen.pagesDelta]] re-serves
+    * byte-identical HTML for the i%3==0, i%6!=0 entities by construction)
+    * yields a 2-copy digest group, so this gate can never be vacuously
+    * green the way d3's is on the driver fixture (its corpus has no exact
+    * dupes — see [[TextAnalysis.d3DupGroups]]). Same 100 TB shape as d3:
+    * only 16-byte digests + urls cross the shuffle, never page bodies.
+    */
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame =
+    materializeForOracle(
+      Revisit.snapshotDigests(pagesBoth(spark), "html"), "kg23_snapshots")
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("url")).as("n_urls"),
+        min(col("url")).as("rep_url"))
+      .filter(col("n_copies") > 1)
+
   def canonDelta(spark: SparkSession, dir: String): DataFrame = {
     val baseEdges = sameAsEdgesOf(payloads(spark))
     val deltaEdges = sameAsEdgesOf(

@@ -50,7 +50,13 @@ object TextAnalysis {
 
   /** Exact duplicate groups: md5 fingerprint, multiplicity, representative
     * (min doc_id). The groupBy-on-hash shape is the 100 TB-safe exact dedup:
-    * shuffle moves 16-byte digests + ids, never the text. */
+    * shuffle moves 16-byte digests + ids, never the text.
+    *
+    * NOTE: the driver's `documents` fixture contains no exact-duplicate
+    * texts, so this gate's oracle row is legitimately 0-row (vacuous as a
+    * gate). The same shape runs under a guaranteed-non-empty gate as
+    * kg23_exact_dup_groups over the two-crawl digest frame, and DedupSpec
+    * plants real dupes against this operator directly. */
   def d3DupGroups(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy(md5(col("text")).as("fp"))
@@ -298,5 +304,57 @@ object TextAnalysis {
         (col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
           .as("salience"),
         col("rank"))
+  }
+
+  /** d16: CCNet-style LM quality filter with a deterministic in-corpus
+    * bigram LM stand-in (CCNet scores documents with a pretrained Kneser-Ney
+    * LM's perplexity and keeps the low-perplexity head; here the "LM" is
+    * the corpus's own bigram counts, so the whole computation replays in
+    * SQL). Per document: score = mean over its word-bigram OCCURRENCES of
+    * -ln(count(gram) / total_grams) = ln(T) - (Σ ln c_g)/n — low score =
+    * predictable text (common/repetitive constructions), high = unusual.
+    * Verdict `keep` = score ≤ `keepBelow` (a FIXED threshold, as CCNet's
+    * is — a data-dependent percentile would add a global float reduction
+    * for no gate value). Docs with no bigram: score null, keep false.
+    *
+    * 100 TB shape: "training" is one groupBy of gram scalars (map-side
+    * combinable); scoring joins the gram stream to the count dim — the
+    * inverted-index join shape, no arrays across the shuffle — then one
+    * per-doc aggregate. With a real pretrained LM the count dim becomes a
+    * broadcast lookup and the big join disappears; the in-corpus train IS
+    * the join. Scores are rounded to 6dp for display; the keep verdict
+    * compares UNROUNDED doubles on both engines.
+    */
+  def d16PerplexityFilter(spark: SparkSession, dir: String,
+                          keepBelow: Double = 8.0): DataFrame =
+    d16Frame(docs(spark, dir), keepBelow)
+
+  /** [[d16PerplexityFilter]] over any (doc_id, text) frame. */
+  def d16Frame(documents: DataFrame, keepBelow: Double): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), gramsCol(wordsCol(col("text")), 2).as("gs"))
+      // explode_outer + null filter: the d12 lesson
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+      .persist() // feeds train AND score — without this the split kernel runs twice
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("t"))
+    val scored = grams
+      .join(counts, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(log(col("c"))).as("_sl"))
+      .crossJoin(broadcast(total))
+      .withColumn("_score", log(col("t")) - col("_sl") / col("n_grams"))
+    val out = documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        // the zero-sign guard every rounded-score oracle carries
+        (round(col("_score"), 6) + lit(0.0)).as("score"),
+        coalesce(col("_score") <= keepBelow, lit(false)).as("keep"))
+      .localCheckpoint(true)
+    grams.unpersist()
+    out
   }
 }

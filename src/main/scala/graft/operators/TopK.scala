@@ -35,11 +35,31 @@ object TopK {
     // words (a UTF-16 surrogate 0xD800.. sorts before U+E000..U+FFFF, but
     // its UTF-8 bytes F0.. sort after their EF..) — a JVM-order tie-break
     // at the k boundary would keep a different word than the oracle.
+    // UTF-8 byte order equals CODE POINT order, so instead of materializing
+    // two UTF8Strings per comparison (this sits in the O(log k)-per-row
+    // binary-search and merge hot loops), compare chars directly and remap
+    // the one disagreeing range: surrogates (0xD800–0xDFFF, the UTF-16
+    // halves of supplementary code points) shift above 0xFFFF so they sort
+    // after every BMP char, exactly as their 4-byte UTF-8 forms do.
+    // Equivalence to UTF8String.compareTo is property-pinned in TopKSpec.
+    private[operators] def cmpStr(a: String, b: String): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        var ca = a.charAt(i).toInt
+        var cb = b.charAt(i).toInt
+        if (ca != cb) {
+          if (ca >= 0xD800 && ca < 0xE000) ca += 0x2800
+          if (cb >= 0xD800 && cb < 0xE000) cb += 0x2800
+          return ca - cb
+        }
+        i += 1
+      }
+      a.length - b.length
+    }
     private def cmp(a: (Long, String), b: (Long, String)): Int = {
       val c = java.lang.Long.compare(a._1, b._1)
-      if (c != 0) c
-      else org.apache.spark.unsafe.types.UTF8String.fromString(a._2)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._2))
+      if (c != 0) c else cmpStr(a._2, b._2)
     }
     override def zero: Array[(Long, String)] = Array.empty
 

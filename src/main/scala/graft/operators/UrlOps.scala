@@ -203,45 +203,60 @@ object UrlOps {
         (col("n_bad") * 4 > col("n_docs")).as("blocked"))
   }
 
-  /** Deterministic robots rules: host k disallows path prefixes `/src{k}`
-    * and `/src{(k+7) mod 20}` — plain arithmetic, so the oracle rebuilds
-    * the identical rule table with `range(13)`.
+  /** Deterministic robots rules (rhost, rtype, rpath): host k disallows
+    * path prefixes `/src{k}` and `/src{(k+7) mod 20}`, and every third host
+    * ALLOWS the longer `/src{k}/doc` — an Allow nested inside a Disallowed
+    * subtree, so longest-match precedence is observable on the fixture.
+    * Plain arithmetic throughout, so the oracle rebuilds the identical rule
+    * table with `range(13)`.
     */
   def robotsRules(spark: SparkSession): DataFrame = {
     import spark.implicits._
     (0 until 13).flatMap { k =>
-      Seq((s"host$k.example.com", s"/src$k"),
-        (s"host$k.example.com", s"/src${(k + 7) % 20}"))
-    }.toDF("rhost", "disallow")
+      Seq((s"host$k.example.com", "disallow", s"/src$k"),
+        (s"host$k.example.com", "disallow", s"/src${(k + 7) % 20}")) ++
+        (if (k % 3 == 0) Seq((s"host$k.example.com", "allow", s"/src$k/doc"))
+         else Nil)
+    }.toDF("rhost", "rtype", "rpath")
   }
 
   /** w5: robots-compliance frontier filter — the crawl stage that drops
     * urls a host's robots rules disallow. Rules are PATH-PREFIX matches
-    * (real robots.txt semantics: `/src1` also covers `/src18/...`), so a
-    * path can match several rules; the verdict keeps the lexicographically
-    * smallest matched rule for determinism.
+    * (real robots.txt semantics: `/src1` also covers `/src18/...`) with
+    * Allow/Disallow LONGEST-MATCH precedence (RFC 9309 §2.2.2): among all
+    * rules matching a path, the longest rpath wins; on equal length Allow
+    * beats Disallow (the standard's least-restrictive tie rule — which is
+    * also 'allow' < 'disallow' lexicographically, so one ordering handles
+    * both); remaining ties break to the lexicographically smallest rpath.
+    * A path matching no rule is allowed.
     *
     * 100 TB shape: the rule table is robots.txt-sized — a bounded
     * broadcast — and the match is a narrow broadcast left-join on
     * (host equality × prefix predicate) over the canonicalized scan; the
-    * only shuffle is the per-doc min-rule aggregate of scalar rows, and a
-    * doc matches at most a handful of rules so the aggregate input stays
+    * winner is a per-doc min(struct) AGGREGATE of scalar rows (argmax by
+    * (length, type, path) — the w4 trick, no per-doc window), and a doc
+    * matches at most a handful of rules so the aggregate input stays
     * O(docs).
     */
   def w5RobotsFilter(spark: SparkSession, dir: String): DataFrame =
     w5Frame(docs(spark, dir), robotsRules(spark))
 
-  /** [[w5RobotsFilter]] over any doc frame and (rhost, disallow) rules. */
+  /** [[w5RobotsFilter]] over any doc frame and (rhost, rtype, rpath) rules. */
   def w5Frame(documents: DataFrame, rules: DataFrame): DataFrame = {
     val d = w1Frame(documents)
       .withColumn("path",
         regexp_extract(col("canon_url"), "^[a-z]+://[^/?#]+([^?#]*)", 1))
     d.join(broadcast(rules),
-        d("host") === rules("rhost") && d("path").startsWith(rules("disallow")),
+        d("host") === rules("rhost") && d("path").startsWith(rules("rpath")),
         "left")
       .groupBy("doc_id", "host", "path")
-      .agg(min(col("disallow")).as("rule"))
+      // the whole struct is nulled for unmatched rows so min() skips them
+      // (a struct OF nulls would otherwise compare and win)
+      .agg(min(when(col("rpath").isNotNull,
+        struct((-length(col("rpath"))).as("negl"),
+          col("rtype").as("t"), col("rpath").as("p")))).as("m"))
       .select(col("doc_id"), col("host"), col("path"),
-        col("rule").isNotNull.as("blocked"), col("rule"))
+        coalesce(col("m.t") === "disallow", lit(false)).as("blocked"),
+        col("m.p").as("rule"), col("m.t").as("rule_type"))
   }
 }

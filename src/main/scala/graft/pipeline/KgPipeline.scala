@@ -35,6 +35,12 @@ final class KgPipeline(spark: SparkSession, root: String,
                        retention: Option[Int] = None) {
   import spark.implicits._
 
+  // fail at construction, not after a full run: the expiry sweep's own
+  // require(keepLast >= 1) would otherwise fire only during the run-end
+  // maintenance pass, throwing away a completed pipeline's worth of work
+  require(retention.forall(_ >= 1),
+    s"retention must be >= 1 when set, got ${retention.get}")
+
   val pagesTbl = new MergeTable(spark, s"$root/pages", Seq("url"))
   // NOTE: keyed (id, lang) since the per-language label dimension landed —
   // a `labels` table written by the earlier id-keyed layout is NOT readable

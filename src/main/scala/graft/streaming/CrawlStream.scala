@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the crawl-maintenance family — kg19 revisit
+  * consolidation and kg20 SCD-2 triple history as AvailableNow streams over
+  * per-crawl file drops, closing the last batch-only family in SURVEY §2.9:
+  * an incremental deployment ingests crawl N+1 as a microbatch instead of
+  * recomputing the consolidated tables from all history.
+  *
+  * Both operators keep per-key GroupState and emit in UPDATE mode: a
+  * consolidated-latest table and a validity-interval table are TABLES, so
+  * their natural streaming materialization is an upsert sink (the MERGE a
+  * real deployment runs into the pages/triples MergeTables, keyed by url
+  * resp. (qid, valid_from)); the memory-sink specs replay that upsert by
+  * keeping each key's last emission. State is bounded: one scalar row per
+  * url for revisit; per qid, the interval list — bounded by the key's
+  * VERSION count (number of value changes across crawls), not by fetch
+  * count, because re-assertions extend the open interval in place.
+  *
+  * Determinism: observations are sorted by event time inside each batch
+  * (file order across batches is the crawl order), so the fold matches the
+  * batch window form row-for-row; CrawlStreamSpec pins both operators
+  * byte-equal to [[graft.operators.Revisit.latest]] /
+  * [[graft.operators.Scd.intervals]] over the same corpus.
+  */
+object CrawlStream {
+
+  final case class SnapObs(url: String, ts_ms: Long, digest: String)
+  final case class RevisitState(n: Long, firstTs: Long, firstDigest: String,
+                                latestTs: Long, latestDigest: String)
+  final case class RevisitRow(url: String, n_snapshots: Long, first_ms: Long,
+                              latest_ms: Long, changed: Boolean)
+
+  /** kg19 as a stream: per-url consolidated row, re-emitted (upsert
+    * semantics) whenever a batch touches the url. Input: a streaming
+    * (url, warc_ts, digest) frame ([[graft.operators.Revisit.snapshotDigests]]
+    * of the crawl drop).
+    */
+  def revisitStream(snapshots: DataFrame): DataFrame = {
+    val spark = snapshots.sparkSession
+    import spark.implicits._
+    val ds = snapshots.select(col("url"),
+      unix_millis(col("warc_ts").cast("timestamp")).as("ts_ms"),
+      col("digest")).as[SnapObs]
+    ds.groupByKey(_.url)
+      .mapGroupsWithState[RevisitState, RevisitRow](GroupStateTimeout.NoTimeout()) {
+        (url, it, state) =>
+          var s = state.getOption.orNull
+          it.toSeq.sortBy(_.ts_ms).foreach { e =>
+            s =
+              if (s == null) RevisitState(1, e.ts_ms, e.digest, e.ts_ms, e.digest)
+              else {
+                val (ft, fd) =
+                  if (e.ts_ms < s.firstTs) (e.ts_ms, e.digest)
+                  else (s.firstTs, s.firstDigest)
+                val (lt, ld) =
+                  if (e.ts_ms > s.latestTs) (e.ts_ms, e.digest)
+                  else (s.latestTs, s.latestDigest)
+                RevisitState(s.n + 1, ft, fd, lt, ld)
+              }
+          }
+          state.update(s)
+          RevisitRow(url, s.n, s.firstTs, s.latestTs, s.firstDigest != s.latestDigest)
+      }.toDF()
+  }
+
+  final case class ValueObs(qid: String, value: String, ts_ms: Long)
+  final case class ScdState(closed: List[(String, Long, Long)],
+                            openValue: String, openFrom: Long, nObs: Long)
+  final case class ScdRow(qid: String, n_obs: Long, value: String,
+                          valid_from_ms: Long, valid_to_ms: Option[Long])
+
+  /** kg20 as a stream: flatMapGroupsWithState carries the OPEN interval
+    * (plus the key's closed history) in state; a batch that re-asserts the
+    * open value extends it silently, a value change closes it and opens the
+    * next. Each touched key re-emits its full interval set stamped with a
+    * monotone `n_obs` version (the upsert key for the sink — and the specs'
+    * pick-the-last handle). Input: a streaming (qid, value, ts) frame.
+    */
+  def scdStream(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val ds = obs.select(col("qid"), col("value"),
+      unix_millis(col("ts").cast("timestamp")).as("ts_ms")).as[ValueObs]
+    ds.groupByKey(_.qid)
+      .flatMapGroupsWithState[ScdState, ScdRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (qid, it, state) =>
+          var closed = state.getOption.map(_.closed).getOrElse(Nil)
+          var open: Option[(String, Long)] =
+            state.getOption.map(s => (s.openValue, s.openFrom))
+          var n = state.getOption.map(_.nObs).getOrElse(0L)
+          it.toSeq.sortBy(_.ts_ms).foreach { o =>
+            n += 1
+            open match {
+              case None => open = Some((o.value, o.ts_ms))
+              // null-safe value compare: a repeated NULL observation must
+              // extend, not re-version (the Scd.intervals <=> contract)
+              case Some((v, _)) if java.util.Objects.equals(v, o.value) => ()
+              case Some((v, f)) =>
+                closed = closed :+ ((v, f, o.ts_ms))
+                open = Some((o.value, o.ts_ms))
+            }
+          }
+          val (ov, of) = open.get // nonempty: state exists only after >=1 obs
+          state.update(ScdState(closed, ov, of, n))
+          (closed.map(c => ScdRow(qid, n, c._1, c._2, Some(c._3))) :+
+            ScdRow(qid, n, ov, of, None)).iterator
+      }.toDF()
+  }
+}

@@ -186,9 +186,9 @@ final class MergeTable(spark: SparkSession, val path: String,
       if (!snapHasBuckets(newSnap)) Map.empty // empty frame: only _SUCCESS written
       else spark.read.parquet(s"$path/data/snap-$newSnap").groupBy("_bucket").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    writeManifest(newSnap, parent, newBucketRows.keys.map(_ -> newSnap).toMap,
-      newBucketRows, df.schema.json)
-    commitCurrent(newSnap)
+    commitManifest(newSnap, parent,
+      manifestJson(newSnap, parent, newBucketRows.keys.map(_ -> newSnap).toMap,
+        newBucketRows, df.schema.json))
     newSnap
   }
 
@@ -261,24 +261,23 @@ final class MergeTable(spark: SparkSession, val path: String,
         val d = bucketDir(oldBuckets(b), b)
         b -> (if (Files.exists(Paths.get(d))) spark.read.parquet(d).count() else 0L)
       }.toMap
-    writeManifest(newSnap, parent, newBuckets, untouchedRows ++ newBucketRows, df.schema.json)
-    commitCurrent(newSnap)
+    commitManifest(newSnap, parent,
+      manifestJson(newSnap, parent, newBuckets, untouchedRows ++ newBucketRows,
+        df.schema.json))
     newSnap
   }
 
-  private def writeManifest(newSnap: Long, parent: Long,
-                            buckets: Map[Int, Long], bucketRows: Map[Int, Long],
-                            schemaJson: String): Unit = {
+  private def manifestJson(newSnap: Long, parent: Long,
+                           buckets: Map[Int, Long], bucketRows: Map[Int, Long],
+                           schemaJson: String): String = {
     def intMapJson(m: Map[Int, Long]): String = m.toSeq.sortBy(_._1)
       .map { case (b, s) => s""""$b": $s""" }.mkString("{", ", ", "}")
     val bucketColsJson = bucketCols.map(c => "\"" + c + "\"").mkString("[", ", ", "]")
-    val json =
-      s"""{"snapshotId": $newSnap, "parent": $parent, "rowCount": ${bucketRows.values.sum},
-         | "createdMs": ${System.currentTimeMillis()}, "buckets": ${intMapJson(buckets)},
-         | "bucketRows": ${intMapJson(bucketRows)},
-         | "bucketCols": $bucketColsJson,
-         | "schema": $schemaJson}""".stripMargin
-    Files.writeString(manifestFile(newSnap), json)
+    s"""{"snapshotId": $newSnap, "parent": $parent, "rowCount": ${bucketRows.values.sum},
+       | "createdMs": ${System.currentTimeMillis()}, "buckets": ${intMapJson(buckets)},
+       | "bucketRows": ${intMapJson(bucketRows)},
+       | "bucketCols": $bucketColsJson,
+       | "schema": $schemaJson}""".stripMargin
   }
 
   /** Whether a written snapshot dir contains any bucket partition (an empty
@@ -353,8 +352,39 @@ final class MergeTable(spark: SparkSession, val path: String,
     (expired, deletedDirs)
   }
 
-  /** Atomic-ish current pointer flip. */
-  private def commitCurrent(newSnap: Long): Unit = {
+  /** Test seam for the concurrent-commit spec: runs after a merge/replace
+    * has chosen its parent snapshot and written its data files, immediately
+    * before the manifest CAS — the widest real race window. Production code
+    * never sets it.
+    */
+  private[tables] var onBeforeCommit: () => Unit = () => ()
+
+  /** Commit = manifest CAS + pointer flip. Snapshot-id allocation is the
+    * conflict detector (Iceberg's optimistic-concurrency discipline): two
+    * writers that both read parent P compute the same id P+1, and
+    * CREATE_NEW makes exactly one manifest write win — the loser throws
+    * ConcurrentModificationException with nothing committed (its orphaned
+    * snap-dir data files are unreferenced by any manifest, so the next
+    * expireSnapshots sweep reclaims them). The parent re-check before the
+    * pointer flip is belt-and-braces for the same writer being raced
+    * between its manifest write and its flip.
+    */
+  private def commitManifest(newSnap: Long, parent: Long, json: String): Unit = {
+    onBeforeCommit()
+    if (currentSnapshot.getOrElse(0L) != parent)
+      throw new java.util.ConcurrentModificationException(
+        s"table $path: snapshot $newSnap was derived from parent $parent but " +
+          s"current is now ${currentSnapshot.getOrElse(0L)} — a concurrent " +
+          "writer committed first; retry the merge against the new current")
+    try Files.writeString(manifestFile(newSnap), json,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"table $path: manifest v$newSnap already exists — a concurrent " +
+            "writer committed the same snapshot id first; retry the merge " +
+            "against the new current")
+    }
     val tmp = Paths.get(path, s"_current.tmp")
     Files.writeString(tmp, newSnap.toString)
     Files.move(tmp, currentFile, StandardCopyOption.REPLACE_EXISTING,

@@ -64,6 +64,58 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some(10L), 2L -> None, 3L -> None))
   }
 
+  test("hot-key time-split (timeSplits=4) is bit-identical to the single-window form on a 90%-one-key fixture") {
+    val rnd = new scala.util.Random(20260818L)
+    val hot = 42L
+    // one key carries 90% of both sides — the single-window form funnels it
+    // through one partition; the split form must spread it and still match
+    val events = (1 to 1000).map { i =>
+      val k = if (i % 10 == 0) (i % 7 + 1).toLong else hot
+      (i.toLong, ts(rnd.nextInt(1000000).toLong * 1000L), k)
+    }
+    val orders = ((1 to 300).map { i =>
+      val k = if (i % 10 == 0) (i % 7 + 1).toLong else hot
+      (k, ts(rnd.nextInt(1000000).toLong * 1000L), i.toLong * 10)
+    }).groupBy(x => (x._1, x._2))
+      .map { case ((k, t), rows) => (k, t, rows.map(_._3).max) }.toSeq
+    val l = events.toDF("eid", "ets", "k")
+    val r = orders.toDF("rk", "rts", "oid")
+    val single = AsOfJoin.asOfBackward(l, r, col("k"), col("rk"), col("ets"), col("rts"))
+      .select("eid", "oid").as[(Long, Option[Long])].collect().toMap
+    for (splits <- Seq(2, 4, 16)) {
+      val split = AsOfJoin.asOfBackward(l, r, col("k"), col("rk"), col("ets"), col("rts"),
+        timeSplits = splits)
+        .select("eid", "oid").as[(Long, Option[Long])].collect().toMap
+      assert(split == single, s"timeSplits=$splits")
+    }
+    // boundary carry-over is real, not incidental: all history in the first
+    // tenth of the timeline, probes spread across the whole of it — most
+    // ranges have NO right rows and depend entirely on the carried payload
+    val rEarly = orders.map { case (k, t, o) => (k, ts(t.getTime % 100000L), o) }
+      .groupBy(x => (x._1, x._2)).map { case ((k, t), rows) => (k, t, rows.map(_._3).max) }.toSeq
+      .toDF("rk", "rts", "oid")
+    val s1 = AsOfJoin.asOfBackward(l, rEarly, col("k"), col("rk"), col("ets"), col("rts"))
+      .select("eid", "oid").as[(Long, Option[Long])].collect().toMap
+    val s4 = AsOfJoin.asOfBackward(l, rEarly, col("k"), col("rk"), col("ets"), col("rts"),
+      timeSplits = 8)
+      .select("eid", "oid").as[(Long, Option[Long])].collect().toMap
+    assert(s4 == s1)
+  }
+
+  test("plan: the split form's main window partitions by (key, range) — the hot key spans >1 partition") {
+    val l = Seq((1L, ts(1000L), 5L)).toDF("eid", "ets", "k")
+    val r = Seq((5L, ts(500L), 10L)).toDF("rk", "rts", "oid")
+    val plan = AsOfJoin.asOfBackward(l, r, col("k"), col("rk"), col("ets"), col("rts"),
+      timeSplits = 4).queryExecution.executedPlan.toString
+    // the data-carrying window's partition spec must include the range
+    // column (hashpartitioning(_k, _s)); the single form never has _s
+    assert("hashpartitioning\\(_k#\\d+L?, _s#\\d+".r.findFirstIn(plan).isDefined,
+      s"expected a (_k, _s) hash partitioning in:\n$plan")
+    val singlePlan = AsOfJoin.asOfBackward(l, r, col("k"), col("rk"), col("ets"), col("rts"))
+      .queryExecution.executedPlan.toString
+    assert(!singlePlan.contains("_s#"))
+  }
+
   test("column-name collision is a hard error") {
     val l = Seq((1L, ts(1L), "x")).toDF("k", "t", "shared")
     val r = Seq((1L, ts(1L), "y")).toDF("rk", "rt", "shared")

@@ -55,6 +55,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Set(("A", "B", 3L)))
   }
 
+  test("cooccurEdges: a hub url past maxPerUrl fails loudly by default, slices deterministically on opt-in") {
+    // hub page with 7 entities; normal page with 2
+    val uq = ((1 to 7).map(i => ("hub", s"Q$i")) ++
+      Seq(("u1", "Q1"), ("u1", "Q2"))).toDF("url", "qid")
+    // default mode: raise with the url and the pair-count estimate
+    val ex = intercept[org.apache.spark.SparkException] {
+      GraphOps.cooccurEdges(uq, minShared = 1, maxPerUrl = 5).collect()
+    }
+    val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+    assert(msg.contains("hub") && msg.contains("maxPerUrl=5"), msg)
+    // slice mode: the hub keeps its lexicographically first 5 qids (the
+    // per-url set is sorted before the slice, so this is deterministic)
+    val sliced = GraphOps.cooccurEdges(uq, minShared = 1, maxPerUrl = 5,
+        sliceOverflow = true)
+      .as[(String, String, Long)].collect().toSet
+    val kept = Seq("Q1", "Q2", "Q3", "Q4", "Q5")
+    val hubPairs = for (i <- kept.indices; j <- i + 1 until kept.size)
+      yield (kept(i), kept(j))
+    val want = hubPairs.map { case (a, b) =>
+      (a, b, if (a == "Q1" && b == "Q2") 2L else 1L) }.toSet
+    assert(sliced == want)
+    // below the cap nothing changes
+    val fine = GraphOps.cooccurEdges(uq, minShared = 1, maxPerUrl = 7)
+      .as[(String, String, Long)].collect()
+    assert(fine.length == 21)
+  }
+
   /** Driver-side replica of the exact integer PageRank — same two-step base
     * division, same `rank / outdeg` truncation, same `* 85 / 100` damping.
     */
@@ -166,5 +193,35 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(String, String, Int)].collect().toSet
     assert(island == Set(("ISOLATED_SRC", "ISOLATED_SRC", 0),
       ("ISOLATED_SRC", "ISOLATED_DST", 1)))
+  }
+
+  test("bfs + triangles: reliable checkpoint mode (checkpointDir) == localCheckpoint mode") {
+    val rnd = new scala.util.Random(7L)
+    val ids = (0 until 30).map(i => f"Q$i%03d")
+    val dirEdges = (for {
+      i <- 0 until 30; j <- 0 until 30 if i != j && rnd.nextDouble() < 0.08
+    } yield (ids(i), ids(j))).toSet
+    val undEdges = dirEdges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graph-ckpt").toString
+    try {
+      val seeds = Seq(ids(0), ids(3)).toDF("id")
+      val eDf = dirEdges.toSeq.toDF("src", "dst")
+      val local = GraphOps.bfsDistances(eDf, seeds, maxHops = 3)
+        .as[(String, String, Int)].collect().toSet
+      val reliable = GraphOps.bfsDistances(eDf, seeds, maxHops = 3,
+        checkpointDir = Some(s"$tmp/bfs")).as[(String, String, Int)].collect().toSet
+      assert(reliable == local)
+      val uDf = undEdges.toSeq.toDF("a", "b")
+      val tLocal = GraphOps.triangles(uDf)
+        .as[(String, String, String)].collect().toSet
+      val tReliable = GraphOps.triangles(uDf, checkpointDir = Some(s"$tmp/tri"))
+        .as[(String, String, String)].collect().toSet
+      assert(tReliable == tLocal)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

@@ -85,6 +85,25 @@ class IncrementalCrawlSpec extends AnyFunSuite {
     assert(out.size == KgQueries.nPages + PagesGen.properties.size)
   }
 
+  test("kg23: exact-dup groups are exactly the unchanged re-serves, multiplicity 2") {
+    val got = KgQueries.exactDupGroups(spark, "")
+      .select("n_copies", "n_urls", "rep_url")
+      .as[(Long, Long, String)].collect().toSeq
+    // every group is one url re-served byte-identically across the crawls
+    assert(got.nonEmpty, "the two-crawl corpus must contain exact dupes")
+    assert(got.forall { case (c, u, _) => c == 2L && u == 1L })
+    // membership = re-crawled (i%3==0 or i%24==1) minus the two change
+    // families: i%6==0 revises P1082; i%24==1 gains a sameAs edge only
+    // when its target qid(i+12) exists (i+12 < n) — the boundary entity
+    // re-serves unchanged
+    val n = KgQueries.nPages
+    val want = (0L until n)
+      .filter(i => (i % 3 == 0 || i % 24 == 1) && i % 6 != 0 &&
+        !(i % 24 == 1 && i + 12 < n))
+      .map(i => PagesGen.urlOf(PagesGen.qid(i))).toSet
+    assert(got.map(_._3).toSet == want)
+  }
+
   // ── SCD-2 intervals ────────────────────────────────────────────────────
 
   test("scd: change points version, re-assertions extend, NULLs version once") {

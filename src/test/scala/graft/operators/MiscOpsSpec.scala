@@ -137,6 +137,30 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(frames.nonEmpty && frames.forall(_.features.length == 16))
   }
 
+  test("mm2 pHash locality: one corrupted byte moves at most one bit; near-dup finds exactly the planted twins") {
+    import graft.multimodal.Media
+    val dir = "/root/testdata/sf0.001"
+    // kernel locality property, across many assets and corruption positions
+    val rnd = new java.util.Random(7L)
+    (1 to 50).foreach { _ =>
+      val bytes = new Array[Byte](256 + rnd.nextInt(768)); rnd.nextBytes(bytes)
+      val twin = bytes.clone()
+      val pos = rnd.nextInt(twin.length)
+      twin(pos) = (twin(pos) ^ (1 << rnd.nextInt(8))).toByte
+      val d = java.lang.Long.bitCount(Media.pHashStub(bytes) ^ Media.pHashStub(twin))
+      assert(d <= 1, s"single-byte corruption moved $d bits")
+    }
+    // end-to-end: the pair set is exactly {(base, base + TwinIdOffset)}
+    val got = Media.mediaNearDup(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    val baseIds = Media.assets(spark, dir).collect().map(_.asset_id)
+      .filter(_ % 16 == 0).toSet
+    assert(got.nonEmpty)
+    assert(got.map { case (a, b, _) => (a, b) }.toSet ==
+      baseIds.map(i => (i, i + Media.TwinIdOffset)))
+    assert(got.forall(_._3 <= 1))
+  }
+
   test("streaming: AvailableNow hourly agg == batch hourly agg; sessions split on gaps") {
     val dir = "/root/testdata/sf0.001"
     // round the float sums: accumulation order differs between the streaming

@@ -80,4 +80,32 @@ class TextQualitySpec extends AnyFunSuite {
       .as[(Long, Int, Long, Double)].collect()
     assert(out.toSeq == Seq((10L, 7, 1L, 1.0 / 7.0)))
   }
+
+  test("d16 perplexity: repetitive < natural, matches hand computation, no-bigram docs flagged") {
+    val docs = Seq(
+      (1L, ("the cat sat " * 50).trim),                   // high-count bigrams → low score
+      (2L, (1 to 100).map(i => s"w$i").mkString(" ")),    // all bigrams unique → maximal score
+      (3L, "single"),                                      // no bigram
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.d16Frame(docs, keepBelow = 3.0)
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (n1, Some(s1), k1) = got(1L)
+    val (n2, Some(s2), k2) = got(2L)
+    assert(n1 == 149 && n2 == 99)
+    assert(s1 < s2, s"repetitive ($s1) must score below natural ($s2)")
+    // hand computation: T = 248; doc1 grams = {the cat: 50, cat sat: 50,
+    // sat the: 49}; doc2 grams all count 1
+    val t = 248.0
+    val want1 = math.log(t) -
+      (50 * math.log(50) + 50 * math.log(50) + 49 * math.log(49)) / 149.0
+    val want2 = math.log(t)
+    assert(math.abs(s1 - BigDecimal(want1).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(s2 - BigDecimal(want2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // fixed threshold 3.0: only the repetitive doc is "head" material
+    assert(k1 && !k2)
+    assert(got(3L) == ((0L, None, false)) && got(4L) == ((0L, None, false)))
+  }
 }

@@ -85,6 +85,30 @@ class TopKSpec extends AnyFunSuite {
     assert(got == rows(windowed(counts, 1)))
   }
 
+  test("cmpStr == UTF8String.compareTo on adversarial and random strings (allocation-free hot path)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = new TopK.TopKAgg(1)
+    def ref(a: String, b: String): Int =
+      Integer.signum(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+    val supp = new String(Character.toChars(0x10000))
+    val supp2 = new String(Character.toChars(0x10FFFF))
+    val pinned = Seq("", "a", "ab", "�", "", "￿", supp, supp2,
+      "a" + supp, "a￿", supp + "a", "￿" + supp, "ä", "z", "Ω", "字")
+    for (a <- pinned; b <- pinned)
+      assert(Integer.signum(agg.cmpStr(a, b)) == ref(a, b), s"'$a' vs '$b'")
+    val rnd = new scala.util.Random(42)
+    // whole code-point units only: an unpaired surrogate is not a valid
+    // string (String.getBytes substitutes '?'), and parquet/UTF8String
+    // inputs are always valid UTF-8
+    val alphabet = Array("a", "b", "�", "", "￿", supp, supp2)
+    for (_ <- 1 to 2000) {
+      def gen() = Seq.fill(rnd.nextInt(5))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val (a, b) = (gen(), gen())
+      assert(Integer.signum(agg.cmpStr(a, b)) == ref(a, b),
+        s"'${a.map(_.toInt.toHexString)}' vs '${b.map(_.toInt.toHexString)}'")
+    }
+  }
+
   test("tokenizer dialect: U+000B is NOT a separator (RE2 \\s parity with the oracle)") {
     // Java's \s matches vertical tab, RE2's does not — the engine spells
     // out the RE2 class so both sides see a-VT-b as ONE token.

@@ -98,25 +98,53 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(g2 == "aaa bbb zzz" && c2 == 1L && n2 == 2L && !b2)
   }
 
-  test("w5 robots filter: prefix semantics, overlap tie-break, host isolation") {
-    // host k disallows /src{k} and /src{(k+7)%20}. doc_id picks the host
-    // (id % 13); source picks the path segment.
+  test("w5 robots filter: prefix semantics, longest-match precedence, host isolation") {
+    // host k disallows /src{k} and /src{(k+7)%20}; every third host allows
+    // the longer /src{k}/doc. doc_id picks the host (id % 13); source picks
+    // the path segment.
     val docs = Seq(
-      (0L, "t", "en", "src0"),   // host 0, path /src0/... → blocked by /src0
-      (13L, "t", "en", "src5"),  // host 0, /src5 → allowed (host 0 blocks 0,7)
-      (7L, "t", "en", "src14"),  // host 7, /src14 → blocked (7+7=14)
+      (0L, "t", "en", "src0"),   // host 0: disallow /src0 BUT allow /src0/doc is longer → allowed
+      (13L, "t", "en", "src5"),  // host 0, /src5 → no rule matches
+      (7L, "t", "en", "src14"),  // host 7, /src14 → blocked (7+7=14; 7%3≠0, no allow)
       (1L, "t", "en", "src18"),  // host 1: rules /src1,/src8; /src1 PREFIX-matches /src18
       (2L, "t", "en", "src18"))  // host 2: rules /src2,/src9 → allowed
       .toDF("doc_id", "text", "lang", "source")
     val got = UrlOps.w5Frame(docs, UrlOps.robotsRules(spark))
-      .select("doc_id", "blocked", "rule")
-      .as[(Long, Boolean, Option[String])].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(got(0L) == ((true, Some("/src0"))))
-    assert(got(13L) == ((false, None)))
-    assert(got(7L) == ((true, Some("/src14"))))
-    assert(got(1L) == ((true, Some("/src1"))), "robots prefix match covers /src18")
-    assert(got(2L) == ((false, None)), "rules are per-host")
+      .select("doc_id", "blocked", "rule", "rule_type")
+      .as[(Long, Boolean, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((false, Some("/src0/doc"), Some("allow"))),
+      "the longer Allow must override the Disallow it nests inside")
+    assert(got(13L) == ((false, None, None)))
+    assert(got(7L) == ((true, Some("/src14"), Some("disallow"))))
+    assert(got(1L) == ((true, Some("/src1"), Some("disallow"))),
+      "robots prefix match covers /src18")
+    assert(got(2L) == ((false, None, None)), "rules are per-host")
+  }
+
+  test("w5 precedence details: equal-length tie → Allow wins; longer Disallow beats shorter Allow") {
+    // (two DISTINCT equal-length prefixes of one path are impossible — equal
+    // length prefixes of the same string are equal — so the rpath tie-break
+    // leg of the ordering is pure determinism belt, not testable semantics)
+    val docs = Seq(
+      (3L, "t", "en", "src3"),  // host 3: equal-length allow vs disallow
+      (4L, "t", "en", "src4"))  // host 4: longer disallow vs shorter allow
+      .toDF("doc_id", "text", "lang", "source")
+    val rules = Seq(
+      ("host3.example.com", "disallow", "/src3"),
+      ("host3.example.com", "allow", "/src3"),
+      ("host3.example.com", "allow", "/srcX"), // control: does not match
+      ("host4.example.com", "allow", "/src4"),
+      ("host4.example.com", "disallow", "/src4/doc"))
+      .toDF("rhost", "rtype", "rpath")
+    val got = UrlOps.w5Frame(docs, rules)
+      .select("doc_id", "blocked", "rule", "rule_type")
+      .as[(Long, Boolean, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(3L) == ((false, Some("/src3"), Some("allow"))),
+      "RFC 9309 tie rule: equal length → least restrictive (Allow) wins")
+    assert(got(4L) == ((true, Some("/src4/doc"), Some("disallow"))),
+      "longest match wins regardless of type")
   }
 
   test("w2 host rollup: every doc lands in exactly one of the 13 hosts") {

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.{KgQueries, Revisit, Scd}
+import graft.pipeline.PagesGen
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The streaming crawl-maintenance twins must equal their batch tables
+  * byte-for-byte on the real two-crawl corpus: revisit consolidation
+  * (kg19 semantics) and SCD-2 triple history (kg20 semantics), with the
+  * crawls arriving as separate microbatches (one file per trigger) so the
+  * open interval / running consolidation provably carries across batch
+  * boundaries in GroupState. Update-mode emissions model an upsert sink;
+  * "the table" is each key's last emission.
+  */
+class CrawlStreamSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val n = 120L
+
+  /** Write each frame as ONE parquet file into a fresh stream dir; file
+    * order = crawl order (the SessionizeStreamSpec discipline).
+    */
+  private def streamDir(name: String, batches: Seq[DataFrame]): String = {
+    val root = Files.createTempDirectory(Paths.get("target"), s"$name-").toString
+    val dir = s"$root/in"; Files.createDirectories(Paths.get(dir))
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$root/tmp-$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(dir, f"b$i%02d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir
+  }
+
+  private def runUpdate(out: DataFrame, name: String): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("revisitStream over two crawl drops == batch Revisit.latest (upsert by last emission)") {
+    val c1 = Revisit.snapshotDigests(PagesGen.pages(spark, n), "html")
+    val c2 = Revisit.snapshotDigests(PagesGen.pagesDelta(spark, n), "html")
+    val dir = streamDir("revisit", Seq(c1, c2))
+    val schema = spark.read.parquet(s"$dir/b00.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val emitted = runUpdate(CrawlStream.revisitStream(stream), "revisit_stream")
+      .as[CrawlStream.RevisitRow].collect()
+    // upsert semantics: n_snapshots is strictly monotone per url, so the
+    // final table is each url's max-n emission
+    val got = emitted.groupBy(_.url).view
+      .mapValues(rs => rs.maxBy(_.n_snapshots)).values
+      .map(r => (r.url, r.n_snapshots, r.first_ms, r.latest_ms, r.changed)).toSet
+    val want = Revisit.latest(c1.unionByName(c2))
+      .select(col("url"), col("n_snapshots"),
+        unix_millis(col("first_ts")).as("f"), unix_millis(col("latest_ts")).as("l"),
+        col("changed"))
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == want)
+    // the batch boundary is real: re-crawled urls consolidated across it
+    assert(want.exists(_._2 == 2L))
+  }
+
+  test("scdStream over two crawl drops == batch Scd.intervals; open interval carries across batches") {
+    val obs1 = KgQueries.scdObservations(spark, PagesGen.pages(spark, n))
+    val obs2 = KgQueries.scdObservations(spark, PagesGen.pagesDelta(spark, n))
+    val dir = streamDir("scd", Seq(obs1, obs2))
+    val schema = spark.read.parquet(s"$dir/b00.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val emitted = runUpdate(CrawlStream.scdStream(stream), "scd_stream")
+      .as[CrawlStream.ScdRow].collect()
+    val got = emitted.groupBy(_.qid).view
+      .mapValues { rs => val last = rs.map(_.n_obs).max; rs.filter(_.n_obs == last) }
+      .values.flatten
+      .map(r => (r.qid, r.value, r.valid_from_ms, r.valid_to_ms)).toSet
+    val want = Scd.intervals(obs1.unionByName(obs2), Seq("qid"), "value", "ts")
+      .select(col("qid"), col("value"),
+        unix_millis(col("valid_from")).as("f"),
+        unix_millis(col("valid_to")).as("t"))
+      .as[(String, String, Long, Option[Long])].collect().toSet
+    assert(got == want)
+    // both families present: extended-in-place (1 interval despite 2 obs)
+    // and versioned (the i%6==0 population revisions → 2 intervals)
+    val perQid = want.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQid.values.exists(_ == 2), "expected a versioned qid")
+    val twoObsOneInterval = emitted.filter(r => r.n_obs == 2 && r.valid_to_ms.isEmpty)
+      .map(_.qid).toSet.exists(q => perQid(q) == 1)
+    assert(twoObsOneInterval, "expected an extended-in-place open interval")
+  }
+}

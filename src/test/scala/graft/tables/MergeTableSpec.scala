@@ -163,6 +163,57 @@ class MergeTableSpec extends AnyFunSuite {
     assert(after("k2") == -9 && after("k1") == -2 && after.size == 100)
   }
 
+  test("concurrent commit: interleaved merges — one wins, one fails loudly, table stays consistent") {
+    val path = tmp()
+    val writerA = new MergeTable(spark, path, Seq("id"), numBuckets = 8)
+    val writerB = new MergeTable(spark, path, Seq("id"), numBuckets = 8)
+    writerA.merge(Seq(("a", 1), ("b", 2)).toDF("id", "v")) // snapshot 1
+    // interleave deterministically at the widest real race window: writer A
+    // has read parent=1 and written its data files; before its manifest CAS,
+    // writer B completes a full merge of its own
+    var bSnap = -1L
+    writerA.onBeforeCommit = () => {
+      writerA.onBeforeCommit = () => () // B's own commit must not recurse
+      bSnap = writerB.merge(Seq(("c", 30)).toDF("id", "v"))
+    }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      writerA.merge(Seq(("b", 99)).toDF("id", "v"))
+    }
+    assert(ex.getMessage.contains("concurrent writer"))
+    // B won: its snapshot is current, its rows are visible, A's attempt
+    // left no manifest and no pointer change
+    assert(bSnap == 2 && writerA.currentSnapshot.contains(2L))
+    assert(writerA.snapshots == Seq(1L, 2L))
+    val got = writerA.read().as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 1, "b" -> 2, "c" -> 30))
+    // the loser's orphaned data files (if any) are invisible and the table
+    // keeps working: a retry of A's merge now succeeds against parent 2
+    writerA.onBeforeCommit = () => ()
+    val s3 = writerA.merge(Seq(("b", 99)).toDF("id", "v"))
+    assert(s3 == 3 && writerA.read().as[(String, Int)].collect().toMap ==
+      Map("a" -> 1, "b" -> 99, "c" -> 30))
+  }
+
+  test("concurrent commit: manifest CREATE_NEW is the CAS — a planted rival manifest is never overwritten") {
+    val path = tmp()
+    val t = new MergeTable(spark, path, Seq("id"), numBuckets = 8)
+    t.merge(Seq(("a", 1)).toDF("id", "v")) // snapshot 1
+    // rival that crashed mid-commit: manifest v2 written, pointer NOT yet
+    // flipped — the parent re-check passes (current is still 1), so the
+    // CREATE_NEW write itself must be the guard that fires
+    val v2 = Paths.get(path, "_manifests", "v2.json")
+    val rivalJson = """{"snapshotId": 2, "parent": 1, "rowCount": 0, "buckets": {}}"""
+    t.onBeforeCommit = () => Files.writeString(v2, rivalJson)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq(("b", 2)).toDF("id", "v"))
+    }
+    assert(ex.getMessage.contains("already exists"))
+    // the rival's manifest survives byte-for-byte and the pointer is unmoved
+    assert(Files.readString(v2) == rivalJson)
+    assert(t.currentSnapshot.contains(1L))
+    assert(t.read().as[(String, Int)].collect().toMap == Map("a" -> 1))
+  }
+
   test("bucket-layout mismatch is a hard error, not silent duplication") {
     val path = tmp()
     new MergeTable(spark, path, Seq("url", "begin"), scopeCols = Some(Seq("url")))
