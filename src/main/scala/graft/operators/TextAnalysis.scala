@@ -329,14 +329,26 @@ object TextAnalysis {
                           keepBelow: Double = 8.0): DataFrame =
     d16Frame(docs(spark, dir), keepBelow)
 
-  /** [[d16PerplexityFilter]] over any (doc_id, text) frame. */
+  /** [[d16PerplexityFilter]] over any (doc_id, text) frame: builds the
+    * gram stream once (persisted — it feeds train AND score; without it
+    * the split kernel runs twice), runs [[d16Plan]], materializes.
+    */
   def d16Frame(documents: DataFrame, keepBelow: Double): DataFrame = {
     val grams = documents
       .select(col("doc_id"), gramsCol(wordsCol(col("text")), 2).as("gs"))
       // explode_outer + null filter: the d12 lesson
       .select(col("doc_id"), explode_outer(col("gs")).as("g"))
       .filter(col("g").isNotNull)
-      .persist() // feeds train AND score — without this the split kernel runs twice
+      .persist()
+    val out = d16Plan(documents, grams, keepBelow).localCheckpoint(true)
+    grams.unpersist()
+    out
+  }
+
+  /** The train/score plan over a (pre-persisted) gram stream — the seam the
+    * plan-shape spec inspects (the entry's eager checkpoint hides it).
+    */
+  def d16Plan(documents: DataFrame, grams: DataFrame, keepBelow: Double): DataFrame = {
     val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("t"))
     val scored = grams
@@ -345,7 +357,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"), sum(log(col("c"))).as("_sl"))
       .crossJoin(broadcast(total))
       .withColumn("_score", log(col("t")) - col("_sl") / col("n_grams"))
-    val out = documents.select(col("doc_id"))
+    documents.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -353,8 +365,5 @@ object TextAnalysis {
         // the zero-sign guard every rounded-score oracle carries
         (round(col("_score"), 6) + lit(0.0)).as("score"),
         coalesce(col("_score") <= keepBelow, lit(false)).as("keep"))
-      .localCheckpoint(true)
-    grams.unpersist()
-    out
   }
 }

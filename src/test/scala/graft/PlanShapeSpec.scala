@@ -294,4 +294,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("w5: rules ride a broadcast join; the verdict is a per-doc aggregate, not a window") {
+    val p = planOf("w5_robots_filter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the robots.txt-sized rule table must broadcast\n" + p.take(1500))
+    assert(!p.contains("Window"), "longest-match must be the min(struct) aggregate")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "the doc×rule match must never shuffle both sides")
+  }
+
+  test("d16: LM train + score are aggregate shuffles; T arrives broadcast; no window, no cartesian") {
+    // pin the d16Plan seam (the entry's eager checkpoint hides the plan)
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val grams = Seq((1L, "a b"), (1L, "b c"), (1L, "c a"), (1L, "a b"))
+      .toDF("doc_id", "g")
+    val p = graft.operators.TextAnalysis.d16Plan(docs, grams, keepBelow = 8.0)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("HashAggregate") && p.contains("partial_count"),
+      "gram counts must combine map-side\n" + p.take(1500))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(1500))
+    // the 1-row total rides a broadcast (the d15 N precedent); the
+    // grams⋈counts join is an equi-join on g, never a nested loop over both
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+  }
+
+  test("mm2: candidates bucket-join on (block, key) scalars; no cartesian pair formation") {
+    // pin the shared simhash frame seam over a tiny signature frame
+    val spark2 = spark
+    import spark2.implicits._
+    val sigs = Seq((1L, 7L), (2L, 7L), (3L, -1L)).toDF("doc_id", "sig")
+    val blocks = graft.operators.Dedup.simhashBlocksOf(sigs, maxDist = 3)
+    val p = graft.operators.Dedup.simhashNearDupFrame(blocks, maxDist = 3)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the candidate join must be an equi-join on (block, key)\n" + p.take(1500))
+    assert(p.contains("block") && p.contains("key"), p.take(1500))
+  }
 }
