@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, Mixture, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T, TopK, UrlOps}
+import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, Mixture, Packing, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T, TopK, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,6 +78,9 @@ object SparkEntry {
     // CCNet-style LM quality filter: in-corpus bigram-LM stand-in, per-doc
     // mean negative log gram frequency + fixed-threshold keep verdict
     "d16_perplexity_filter" -> ((s, d) => T.d16PerplexityFilter(s, d)),
+    // GPT-style sequence packing: concatenate-and-cut context windows via
+    // the d13 distributed prefix sum (no single-partition global window)
+    "d17_sequence_packing" -> ((s, d) => Packing.d17SequencePacking(s, d)),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -93,6 +96,9 @@ object SparkEntry {
     // robots-compliance frontier filter: broadcast rule table, prefix-match
     // left-join, per-doc min-rule verdict
     "w5_robots_filter" -> (UrlOps.w5RobotsFilter _),
+    // politeness timetable over the robots-filtered frontier: per-host
+    // sequential fetch slots (the inherently-serial-per-host window)
+    "w6_frontier_schedule" -> (UrlOps.w6FrontierSchedule(_, _)),
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dd3_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardExact(s, d)),
@@ -293,6 +299,37 @@ object SparkEntry {
        |  base || CASE WHEN q = '' THEN ''
        |               ELSE regexp_replace(qc, '^&', '?') END AS canon_url FROM c6)
        |$finalSelect""".stripMargin
+
+  /** w5/w6 oracle scaffold: the canon chain + robots rule table + per-doc
+    * longest-match ranking ending in `m(doc_id, host, path, rtype, rpath,
+    * rn)` (rn = 1 is the winning rule); callers append the final SELECT.
+    */
+  private def robotsVerdictSql(finalSelect: String): String = urlCanonSql(
+    s""",
+       |d AS (
+       |  SELECT doc_id,
+       |    regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       |    regexp_extract(canon_url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+       |  FROM c7),
+       |rules AS (
+       |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com' AS rhost,
+       |         'disallow' AS rtype, '/src' || CAST(k AS VARCHAR) AS rpath
+       |  FROM range(13) t(k)
+       |  UNION ALL
+       |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com',
+       |         'disallow', '/src' || CAST((k + 7) % 20 AS VARCHAR)
+       |  FROM range(13) t(k)
+       |  UNION ALL
+       |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com',
+       |         'allow', '/src' || CAST(k AS VARCHAR) || '/doc'
+       |  FROM range(13) t(k) WHERE k % 3 = 0),
+       |m AS (
+       |  SELECT d.doc_id, d.host, d.path, r.rtype, r.rpath,
+       |    row_number() OVER (PARTITION BY d.doc_id
+       |      ORDER BY length(r.rpath) DESC, r.rtype ASC, r.rpath ASC) AS rn
+       |  FROM d LEFT JOIN rules r
+       |    ON d.host = r.rhost AND starts_with(d.path, r.rpath))
+       |$finalSelect""".stripMargin)
 
   /** dd1/dd4/dd5 oracle scaffold: the shared MinHash-signature + LSH-banding
     * replay (md5-derived Kirsch–Mitzenmacher hashes, 16 hashes × 4 bands)
@@ -797,6 +834,27 @@ object SparkEntry {
         |  round(s.sc, 6) + 0 AS score,
         |  coalesce(s.sc <= 8.0, false) AS keep
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    // d17: the oracle replays the packing prefix sum with a global window
+    // (fine at oracle scale; the engine uses the distributed two-pass
+    // form) — all-BIGINT arithmetic, bit-identical by construction
+    "d17_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+        |  CAST(CASE WHEN n_tokens > 0 THEN start_off // 512 END AS BIGINT) AS first_window,
+        |  CAST(CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 512 END AS BIGINT) AS last_window,
+        |  CAST(CASE WHEN n_tokens > 0
+        |    THEN (start_off + n_tokens - 1) // 512 - start_off // 512 + 1
+        |    ELSE 0 END AS BIGINT) AS n_windows
+        |FROM s""".stripMargin,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)
@@ -865,35 +923,20 @@ object SparkEntry {
     // a per-doc row_number window ordered (length DESC, rtype ASC — 'allow'
     // < 'disallow' encodes the allow-wins tie rule — rpath ASC), exactly
     // the engine's min(struct) argmax
-    "w5_robots_filter" -> urlCanonSql(
-      """,
-        |d AS (
-        |  SELECT doc_id,
-        |    regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host,
-        |    regexp_extract(canon_url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
-        |  FROM c7),
-        |rules AS (
-        |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com' AS rhost,
-        |         'disallow' AS rtype, '/src' || CAST(k AS VARCHAR) AS rpath
-        |  FROM range(13) t(k)
-        |  UNION ALL
-        |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com',
-        |         'disallow', '/src' || CAST((k + 7) % 20 AS VARCHAR)
-        |  FROM range(13) t(k)
-        |  UNION ALL
-        |  SELECT 'host' || CAST(k AS VARCHAR) || '.example.com',
-        |         'allow', '/src' || CAST(k AS VARCHAR) || '/doc'
-        |  FROM range(13) t(k) WHERE k % 3 = 0),
-        |m AS (
-        |  SELECT d.doc_id, d.host, d.path, r.rtype, r.rpath,
-        |    row_number() OVER (PARTITION BY d.doc_id
-        |      ORDER BY length(r.rpath) DESC, r.rtype ASC, r.rpath ASC) AS rn
-        |  FROM d LEFT JOIN rules r
-        |    ON d.host = r.rhost AND starts_with(d.path, r.rpath))
-        |SELECT doc_id, host, path,
+    "w5_robots_filter" -> robotsVerdictSql(
+      """SELECT doc_id, host, path,
         |  coalesce(rtype = 'disallow', false) AS blocked,
         |  rpath AS rule, rtype AS rule_type
         |FROM m WHERE rn = 1""".stripMargin),
+    // w6: the politeness timetable over the same robots verdicts — allowed
+    // urls get per-host sequential slots (path, doc_id order)
+    "w6_frontier_schedule" -> robotsVerdictSql(
+      """SELECT doc_id, host, path, slot, (slot - 1) * 1000 AS fetch_at_ms
+        |FROM (
+        |  SELECT doc_id, host, path,
+        |    row_number() OVER (PARTITION BY host ORDER BY path, doc_id) AS slot
+        |  FROM m
+        |  WHERE rn = 1 AND NOT coalesce(rtype = 'disallow', false))""".stripMargin),
     "dd1_minhash_lsh" -> minhashLshSql("",
       "SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5"),
     // dd4: incremental dedup == exactly the dd1 pairs that involve >= 1

@@ -259,4 +259,29 @@ object UrlOps {
         coalesce(col("m.t") === "disallow", lit(false)).as("blocked"),
         col("m.p").as("rule"), col("m.t").as("rule_type"))
   }
+
+  /** w6: politeness-scheduled fetch plan over the robots-filtered frontier —
+    * the step after w5 in a crawler: each host's allowed urls get sequential
+    * fetch slots, one fetch per `delayMs` per host (crawl-delay semantics),
+    * so the whole frontier becomes an executable per-host timetable.
+    *
+    * 100 TB shape: the per-host `row_number` window is the one inherently
+    * serial structure here — politeness IS sequential per host, so the
+    * window partitioning matches the problem exactly (group count = host
+    * count, cluster-wide parallel), and only (host, path, doc_id) scalars
+    * enter the sort. Composes w5: blocked urls never receive a slot.
+    */
+  def w6FrontierSchedule(spark: SparkSession, dir: String,
+                         delayMs: Long = 1000L): DataFrame =
+    w6Frame(w5Frame(docs(spark, dir), robotsRules(spark)), delayMs)
+
+  /** [[w6FrontierSchedule]] over any w5-verdict frame. */
+  def w6Frame(verdicts: DataFrame, delayMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy(col("path"), col("doc_id"))
+    verdicts.filter(!col("blocked"))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("host"), col("path"), col("slot"),
+        ((col("slot") - 1L) * delayMs).as("fetch_at_ms"))
+  }
 }

@@ -147,6 +147,22 @@ class UrlOpsSpec extends AnyFunSuite {
       "longest match wins regardless of type")
   }
 
+  test("w6 frontier schedule: blocked urls get no slot, per-host slots are dense and path-ordered") {
+    val sched = UrlOps.w6FrontierSchedule(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    val verdicts = UrlOps.w5RobotsFilter(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "blocked").as[(Long, Boolean)].collect().toMap
+    // exactly the allowed urls are scheduled
+    assert(sched.map(_._1).toSet == verdicts.filter(!_._2).keySet)
+    sched.groupBy(_._2).foreach { case (host, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4) == (1L to rows.size), s"host=$host slots dense")
+      assert(sorted.map(r => (r._3, r._1)) == rows.map(r => (r._3, r._1)).sorted,
+        s"host=$host slot order is (path, doc_id)")
+      assert(sorted.forall(r => r._5 == (r._4 - 1) * 1000L), s"host=$host timetable")
+    }
+  }
+
   test("w2 host rollup: every doc lands in exactly one of the 13 hosts") {
     val w2 = UrlOps.w2HostStats(spark, "/root/testdata/sf0.01")
       .as[(String, Long, Long)].collect()
