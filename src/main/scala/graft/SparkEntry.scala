@@ -812,7 +812,8 @@ object SparkEntry {
         |FROM r WHERE rank <= 5""".stripMargin,
     // d16: the oracle trains the same in-corpus bigram LM (the d11 gram
     // recipe) and replays score = ln(T) - avg(ln c); score rounds to 6dp
-    // with the zero-sign guard, the keep verdict compares UNROUNDED
+    // with the zero-sign guard, and the keep verdict compares the SAME
+    // rounded value (raw double sums differ across engines in low bits)
     "d16_perplexity_filter" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -832,7 +833,7 @@ object SparkEntry {
         |  GROUP BY doc_id, tot.t)
         |SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
         |  round(s.sc, 6) + 0 AS score,
-        |  coalesce(s.sc <= 8.0, false) AS keep
+        |  coalesce(round(s.sc, 6) + 0 <= 8.0, false) AS keep
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     // d17: the oracle replays the packing prefix sum with a global window
     // (fine at oracle scale; the engine uses the distributed two-pass

@@ -73,46 +73,17 @@ object AsOfJoin {
         u.withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
           .filter(col("_tag") === 1)
       } else {
-        // hot-key pre-split: cut each key's [min_t, max_t] into timeSplits
-        // equal half-open ranges. The range index `_s` is a pure function of
-        // (key stats, _t), so every row lands in exactly one range and
-        // ranges tile the timeline.
-        val stats = u.groupBy("_k").agg(
-          min(unix_micros(col("_t"))).as("_lo"),
-          max(unix_micros(col("_t"))).as("_hi"))
-        // exact BIGINT `div` arithmetic: width >= 1 and the index is
-        // monotone in _t, so ranges tile the timeline in time order (an
-        // earlier range's rows are strictly earlier than a later range's)
-        val withS = u.join(stats, Seq("_k"))
-          .withColumn("_s",
-            least(expr(s"(unix_micros(_t) - _lo) div ((_hi - _lo) div $timeSplits + 1)"),
-              lit(timeSplits - 1L)).cast("long"))
-          .drop("_lo", "_hi")
-        // boundary carry-over: the last right payload of each (key, range) —
-        // right rows are unique per (key, time) by contract, so max_by is
-        // deterministic — then, per key, the payload carried INTO range s =
-        // last non-null boundary payload over ranges < s. The grid frame is
-        // ≤ timeSplits rows per key (built from the stats frame, never the
-        // data), so this window is bounded no matter how hot the key is.
-        val lastPerRange = withS.filter(col("_tag") === 0)
-          .groupBy("_k", "_s").agg(max_by(col("_r"), col("_t")).as("_lr"))
-        val grid = stats.select(col("_k"),
-            explode(sequence(lit(0L), lit(timeSplits - 1L))).as("_s"))
-          .join(lastPerRange, Seq("_k", "_s"), "left")
-        val wCarry = Window.partitionBy("_k").orderBy("_s")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val carries = grid
-          .withColumn("_carry", last(col("_lr"), ignoreNulls = true).over(wCarry))
-          .select(col("_k"), col("_s"), col("_carry"))
-        // per-(key, range) window — the hot key now spans timeSplits
-        // partitions; rows with no right match inside their own range fall
-        // back to the carried boundary payload
-        val w = Window.partitionBy("_k", "_s").orderBy(col("_t"), col("_tag"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        withS.join(carries, Seq("_k", "_s"))
-          .withColumn("_m",
-            coalesce(last(col("_r"), ignoreNulls = true).over(w), col("_carry")))
-          .filter(col("_tag") === 1)
+        // `u` feeds the stats aggregate, the split frame (twice: boundary
+        // aggregate + final window join) — persist it for the call (the
+        // per-call lifecycle rule) or the upstream left/right pipelines
+        // re-execute up to 3× on exactly the huge-input path this mode
+        // exists for; the result is eagerly materialized so the cache
+        // releases before returning (the split mode trades the single
+        // path's full laziness for bounded recompute, like the dedup ops)
+        u.persist()
+        val out = splitMatched(u, timeSplits).localCheckpoint(eager = true)
+        u.unpersist()
+        out
       }
     val matchedOut = matched.select(
       leftCols.map(c => col(s"_l.$c").as(c)) ++
@@ -121,6 +92,51 @@ object AsOfJoin {
       leftCols.map(col) ++
         rType.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
     matchedOut.unionByName(bypass)
+  }
+
+  /** The hot-key pre-split matching plan over a (pre-persisted) tagged
+    * union `u(_k, _t, _tag, _l, _r)` — the lazy seam the plan-shape spec
+    * inspects (the entry's eager checkpoint hides it): cut each key's
+    * [min_t, max_t] into `timeSplits` equal half-open ranges and window per
+    * (key, range) with boundary carry-over.
+    */
+  private[operators] def splitMatched(u: DataFrame, timeSplits: Int): DataFrame = {
+    val stats = u.groupBy("_k").agg(
+      min(unix_micros(col("_t"))).as("_lo"),
+      max(unix_micros(col("_t"))).as("_hi"))
+    // exact BIGINT `div` arithmetic: width >= 1 and the index is
+    // monotone in _t, so ranges tile the timeline in time order (an
+    // earlier range's rows are strictly earlier than a later range's)
+    val withS = u.join(stats, Seq("_k"))
+      .withColumn("_s",
+        least(expr(s"(unix_micros(_t) - _lo) div ((_hi - _lo) div $timeSplits + 1)"),
+          lit(timeSplits - 1L)).cast("long"))
+      .drop("_lo", "_hi")
+    // boundary carry-over: the last right payload of each (key, range) —
+    // right rows are unique per (key, time) by contract, so max_by is
+    // deterministic — then, per key, the payload carried INTO range s =
+    // last non-null boundary payload over ranges < s. The grid frame is
+    // ≤ timeSplits rows per key (built from the stats frame, never the
+    // data), so this window is bounded no matter how hot the key is.
+    val lastPerRange = withS.filter(col("_tag") === 0)
+      .groupBy("_k", "_s").agg(max_by(col("_r"), col("_t")).as("_lr"))
+    val grid = stats.select(col("_k"),
+        explode(sequence(lit(0L), lit(timeSplits - 1L))).as("_s"))
+      .join(lastPerRange, Seq("_k", "_s"), "left")
+    val wCarry = Window.partitionBy("_k").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = grid
+      .withColumn("_carry", last(col("_lr"), ignoreNulls = true).over(wCarry))
+      .select(col("_k"), col("_s"), col("_carry"))
+    // per-(key, range) window — the hot key now spans timeSplits
+    // partitions; rows with no right match inside their own range fall
+    // back to the carried boundary payload
+    val w = Window.partitionBy("_k", "_s").orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withS.join(carries, Seq("_k", "_s"))
+      .withColumn("_m",
+        coalesce(last(col("_r"), ignoreNulls = true).over(w), col("_carry")))
+      .filter(col("_tag") === 1)
   }
 
   /** q20: each user event joined to the user's latest at-or-before order.

@@ -512,6 +512,18 @@ object KgQueries {
     * independent from-first-principles check that the incremental fold
     * equals the full recompute.
     */
+  def canonDelta(spark: SparkSession, dir: String): DataFrame = {
+    val baseEdges = sameAsEdgesOf(payloads(spark))
+    val deltaEdges = sameAsEdgesOf(
+      TextifyStage.payloads(spark, PagesGen.pagesDelta(spark, nPages)))
+    val nodes = materializeForOracle(labelsEn(spark).select("id"), "kg21_nodes")
+    val baseAssign = graft.canon.ConnectedComponents.run(spark,
+      materializeForOracle(baseEdges, "kg21_base_edges"), nodes)
+    graft.canon.ConnectedComponents.runIncremental(spark, baseAssign,
+      materializeForOracle(deltaEdges, "kg21_delta_edges"))
+      .filter(col("id") =!= col("component"))
+  }
+
   /** kg23: exact-duplicate CONTENT groups across the two crawls — the d3
     * digest-groupBy shape over a corpus that provably contains duplicates:
     * every unchanged re-crawled page ([[PagesGen.pagesDelta]] re-serves
@@ -529,16 +541,4 @@ object KgQueries {
         countDistinct(col("url")).as("n_urls"),
         min(col("url")).as("rep_url"))
       .filter(col("n_copies") > 1)
-
-  def canonDelta(spark: SparkSession, dir: String): DataFrame = {
-    val baseEdges = sameAsEdgesOf(payloads(spark))
-    val deltaEdges = sameAsEdgesOf(
-      TextifyStage.payloads(spark, PagesGen.pagesDelta(spark, nPages)))
-    val nodes = materializeForOracle(labelsEn(spark).select("id"), "kg21_nodes")
-    val baseAssign = graft.canon.ConnectedComponents.run(spark,
-      materializeForOracle(baseEdges, "kg21_base_edges"), nodes)
-    graft.canon.ConnectedComponents.runIncremental(spark, baseAssign,
-      materializeForOracle(deltaEdges, "kg21_delta_edges"))
-      .filter(col("id") =!= col("component"))
-  }
 }

@@ -176,25 +176,26 @@ final class MergeTable(spark: SparkSession, val path: String,
     */
   def replace(df: DataFrame): Long = {
     validateLayout()
-    val newSnap = currentSnapshot.getOrElse(0L) + 1
+    val newSnap = allocateSnapshot()
     val parent = currentSnapshot.getOrElse(0L)
     val incoming = df.dropDuplicates(keyCols).withColumn("_bucket", bucketExpr)
     Files.createDirectories(Paths.get(path, "_manifests"))
+    val staging = newStagingDir()
     incoming.repartition(col("_bucket")).write.mode("overwrite").partitionBy("_bucket")
-      .parquet(s"$path/data/snap-$newSnap")
+      .parquet(staging.toString)
     val newBucketRows: Map[Int, Long] =
-      if (!snapHasBuckets(newSnap)) Map.empty // empty frame: only _SUCCESS written
-      else spark.read.parquet(s"$path/data/snap-$newSnap").groupBy("_bucket").count()
+      if (!dirHasBuckets(staging)) Map.empty // empty frame: only _SUCCESS written
+      else spark.read.parquet(staging.toString).groupBy("_bucket").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     commitManifest(newSnap, parent,
       manifestJson(newSnap, parent, newBucketRows.keys.map(_ -> newSnap).toMap,
-        newBucketRows, df.schema.json))
+        newBucketRows, df.schema.json), staging)
     newSnap
   }
 
   private def mergeInternal(df: DataFrame, scopes: Option[DataFrame]): Long = {
     validateLayout()
-    val newSnap = currentSnapshot.getOrElse(0L) + 1
+    val newSnap = allocateSnapshot()
     val incoming = df.dropDuplicates(keyCols).withColumn("_bucket", bucketExpr)
 
     val (oldBuckets: Map[Int, Long], parent: Long, oldBucketRows: Map[Int, Long]) =
@@ -232,18 +233,23 @@ final class MergeTable(spark: SparkSession, val path: String,
     // cluster by bucket before the partitioned write: one file per touched
     // bucket instead of (#tasks × #buckets) shards — without this, every
     // snapshot sprays ~1000 tiny files that each subsequent merge/read must
-    // open (measured: the small-file tax dominated incremental merges)
+    // open (measured: the small-file tax dominated incremental merges).
+    // The write targets a writer-private STAGING dir — never the final
+    // snap-N path — so a concurrent writer racing for the same snapshot id
+    // can never clobber the winner's committed files; commitManifest binds
+    // the staged data to the id only after winning the manifest CAS.
+    val staging = newStagingDir()
     merged.repartition(col("_bucket")).write.mode("overwrite").partitionBy("_bucket")
-      .parquet(s"$path/data/snap-$newSnap")
+      .parquet(staging.toString)
 
-    // per-bucket counts of what we just wrote: counted from the NEW snapshot's
-    // own files — a metadata-only scan (only the partition-dir column is
+    // per-bucket counts of what we just wrote: counted from the staged
+    // files — a metadata-only scan (only the partition-dir column is
     // referenced, so row counts come from parquet footers); the anti-join plan
     // executes exactly once, in the write job (persisting it instead measured
     // 5× slower on the partitioned write path)
     val newBucketRows: Map[Int, Long] =
-      if (touched.isEmpty || !snapHasBuckets(newSnap)) Map.empty // nothing (re-)emitted
-      else spark.read.parquet(s"$path/data/snap-$newSnap")
+      if (touched.isEmpty || !dirHasBuckets(staging)) Map.empty // nothing (re-)emitted
+      else spark.read.parquet(staging.toString)
         .groupBy("_bucket").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
@@ -263,7 +269,7 @@ final class MergeTable(spark: SparkSession, val path: String,
       }.toMap
     commitManifest(newSnap, parent,
       manifestJson(newSnap, parent, newBuckets, untouchedRows ++ newBucketRows,
-        df.schema.json))
+        df.schema.json), staging)
     newSnap
   }
 
@@ -280,17 +286,38 @@ final class MergeTable(spark: SparkSession, val path: String,
        | "schema": $schemaJson}""".stripMargin
   }
 
-  /** Whether a written snapshot dir contains any bucket partition (an empty
+  /** Whether a written data dir contains any bucket partition (an empty
     * frame's write leaves only _SUCCESS — unreadable as parquet).
     */
-  private def snapHasBuckets(snap: Long): Boolean = {
-    val dir = Paths.get(path, s"data/snap-$snap")
+  private def dirHasBuckets(dir: java.nio.file.Path): Boolean =
     Files.exists(dir) && {
       val st = Files.list(dir)
       try st.anyMatch(p => p.getFileName.toString.startsWith("_bucket="))
       finally st.close()
     }
-  }
+
+  /** Next snapshot id: one past the max of every EXISTING manifest and the
+    * current pointer — never `current + 1` alone. A writer that crashed
+    * after its manifest CAS but before its pointer flip leaves an orphaned
+    * manifest at current+1; allocating past it makes the orphan a skipped id
+    * (its commit was never visible, so losing it is correct crash
+    * semantics) instead of a permanent collision that would make every
+    * later merge's CREATE_NEW fail forever.
+    */
+  private def allocateSnapshot(): Long =
+    (snapshots :+ currentSnapshot.getOrElse(0L)).max + 1
+
+  /** Writer-private staging dir for one commit attempt's data files. */
+  private def newStagingDir(): java.nio.file.Path =
+    Paths.get(path, s"data/_staging-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  private def deleteTreeIfExists(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
 
   /** Iceberg-style snapshot expiry + orphan-file GC (`expire_snapshots` +
     * `remove_orphan_files`): keep the newest `keepLast` manifests (always
@@ -329,25 +356,31 @@ final class MergeTable(spark: SparkSession, val path: String,
     val referenced: Set[(Long, Int)] =
       keep.flatMap(v => readManifest(v)._2.toSeq.map { case (b, snap) => (snap, b) })
     expired.foreach(v => Files.deleteIfExists(manifestFile(v)))
-    def deleteTree(dir: java.nio.file.Path): Unit = {
-      val walk = Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
     val onDisk = listIds(Paths.get(path, "data"), "snap-(\\d+)$".r)
     val deletedDirs = onDisk.flatMap { snap =>
       val snapDir = Paths.get(path, s"data/snap-$snap")
       listIds(snapDir, "_bucket=(\\d+)$".r)
         .filterNot(b => referenced((snap, b.toInt)))
-        .foreach(b => deleteTree(snapDir.resolve(s"_bucket=$b")))
+        .foreach(b => deleteTreeIfExists(snapDir.resolve(s"_bucket=$b")))
       // drop the dir itself once nothing referenced remains — unless it is
       // a KEPT snapshot's own dir (a merge that only carried pointers
       // forward writes no files; keep its empty shell out of caution)
       if (listIds(snapDir, "_bucket=(\\d+)$".r).isEmpty && !keep(snap)) {
-        deleteTree(snapDir)
+        deleteTreeIfExists(snapDir)
         Some(snap)
       } else None
+    }
+    // abandoned staging dirs (a writer that crashed before its commit CAS)
+    // are unreferenced by construction — sweep them with the same
+    // maintenance pass. Safe under the single-maintenance-job discipline
+    // every table-compaction system assumes (a LIVE writer's staging dir
+    // would also match; don't run expiry concurrently with writers).
+    val dataDir = Paths.get(path, "data")
+    if (Files.exists(dataDir)) {
+      val st = Files.list(dataDir)
+      try st.filter(p => p.getFileName.toString.startsWith("_staging-"))
+        .forEach(p => deleteTreeIfExists(p))
+      finally st.close()
     }
     (expired, deletedDirs)
   }
@@ -359,32 +392,45 @@ final class MergeTable(spark: SparkSession, val path: String,
     */
   private[tables] var onBeforeCommit: () => Unit = () => ()
 
-  /** Commit = manifest CAS + pointer flip. Snapshot-id allocation is the
-    * conflict detector (Iceberg's optimistic-concurrency discipline): two
-    * writers that both read parent P compute the same id P+1, and
-    * CREATE_NEW makes exactly one manifest write win — the loser throws
-    * ConcurrentModificationException with nothing committed (its orphaned
-    * snap-dir data files are unreferenced by any manifest, so the next
-    * expireSnapshots sweep reclaims them). The parent re-check before the
-    * pointer flip is belt-and-braces for the same writer being raced
-    * between its manifest write and its flip.
+  /** Commit = manifest CAS + data-dir bind + pointer flip. Snapshot-id
+    * allocation is the conflict detector (Iceberg's optimistic-concurrency
+    * discipline): two writers that both read parent P compute the same id,
+    * and CREATE_NEW makes exactly one manifest write win — the loser throws
+    * ConcurrentModificationException with nothing committed AND nothing
+    * clobbered: its data lives only in its own staging dir (deleted on the
+    * way out), never at the shared snap-N path, which only the CAS winner
+    * renames its staging onto. The parent re-check before the manifest
+    * write is belt-and-braces for a writer raced between its data write and
+    * its commit. Crash windows: before the CAS → only an abandoned staging
+    * dir (expireSnapshots sweeps those); after the CAS but before the flip →
+    * an orphaned manifest that [[allocateSnapshot]] skips, the commit was
+    * never visible.
     */
-  private def commitManifest(newSnap: Long, parent: Long, json: String): Unit = {
+  private def commitManifest(newSnap: Long, parent: Long, json: String,
+                             staging: java.nio.file.Path): Unit = {
     onBeforeCommit()
+    def abort(msg: String): Nothing = {
+      deleteTreeIfExists(staging)
+      throw new java.util.ConcurrentModificationException(msg)
+    }
     if (currentSnapshot.getOrElse(0L) != parent)
-      throw new java.util.ConcurrentModificationException(
-        s"table $path: snapshot $newSnap was derived from parent $parent but " +
-          s"current is now ${currentSnapshot.getOrElse(0L)} — a concurrent " +
-          "writer committed first; retry the merge against the new current")
+      abort(s"table $path: snapshot $newSnap was derived from parent $parent " +
+        s"but current is now ${currentSnapshot.getOrElse(0L)} — a concurrent " +
+        "writer committed first; retry the merge against the new current")
     try Files.writeString(manifestFile(newSnap), json,
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"table $path: manifest v$newSnap already exists — a concurrent " +
-            "writer committed the same snapshot id first; retry the merge " +
-            "against the new current")
+        abort(s"table $path: manifest v$newSnap already exists — a concurrent " +
+          "writer committed the same snapshot id first; retry the merge " +
+          "against the new current")
     }
+    // the id is exclusively ours now: bind the staged data to it (atomic
+    // same-filesystem rename; the target cannot exist because ids are never
+    // reused and only the CAS winner renames)
+    if (Files.exists(staging))
+      Files.move(staging, Paths.get(path, s"data/snap-$newSnap"),
+        StandardCopyOption.ATOMIC_MOVE)
     val tmp = Paths.get(path, s"_current.tmp")
     Files.writeString(tmp, newSnap.toString)
     Files.move(tmp, currentFile, StandardCopyOption.REPLACE_EXISTING,

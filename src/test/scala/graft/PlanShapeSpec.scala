@@ -311,7 +311,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     val grams = Seq((1L, "a b"), (1L, "b c"), (1L, "c a"), (1L, "a b"))
       .toDF("doc_id", "g")
-    val p = graft.operators.TextAnalysis.d16Plan(docs, grams, keepBelow = 8.0)
+    import org.apache.spark.sql.functions.{count, lit}
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val p = graft.operators.TextAnalysis.d16Plan(docs, grams, counts, keepBelow = 8.0)
       .queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("HashAggregate") && p.contains("partial_count"),

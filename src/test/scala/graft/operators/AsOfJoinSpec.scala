@@ -103,14 +103,22 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("plan: the split form's main window partitions by (key, range) — the hot key spans >1 partition") {
-    val l = Seq((1L, ts(1000L), 5L)).toDF("eid", "ets", "k")
-    val r = Seq((5L, ts(500L), 10L)).toDF("rk", "rts", "oid")
-    val plan = AsOfJoin.asOfBackward(l, r, col("k"), col("rk"), col("ets"), col("rts"),
-      timeSplits = 4).queryExecution.executedPlan.toString
+    // pin the splitMatched seam (asOfBackward eagerly materializes the
+    // split result, which would hide the window behind a checkpoint scan)
+    val u = Seq((5L, ts(1000L), 1, 7L), (5L, ts(500L), 0, 10L))
+      .toDF("_k", "_t", "_tag", "payload")
+      .select(col("_k"), col("_t"), col("_tag"),
+        when(col("_tag") === 1, struct(col("payload").as("eid"))).as("_l"),
+        when(col("_tag") === 0, struct(col("payload").as("oid"))).as("_r"))
+      .drop("payload")
+    val plan = AsOfJoin.splitMatched(u, timeSplits = 4)
+      .queryExecution.executedPlan.toString
     // the data-carrying window's partition spec must include the range
     // column (hashpartitioning(_k, _s)); the single form never has _s
     assert("hashpartitioning\\(_k#\\d+L?, _s#\\d+".r.findFirstIn(plan).isDefined,
       s"expected a (_k, _s) hash partitioning in:\n$plan")
+    val l = Seq((1L, ts(1000L), 5L)).toDF("eid", "ets", "k")
+    val r = Seq((5L, ts(500L), 10L)).toDF("rk", "rts", "oid")
     val singlePlan = AsOfJoin.asOfBackward(l, r, col("k"), col("rk"), col("ets"), col("rts"))
       .queryExecution.executedPlan.toString
     assert(!singlePlan.contains("_s#"))

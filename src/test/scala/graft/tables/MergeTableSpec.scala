@@ -186,12 +186,36 @@ class MergeTableSpec extends AnyFunSuite {
     assert(writerA.snapshots == Seq(1L, 2L))
     val got = writerA.read().as[(String, Int)].collect().toMap
     assert(got == Map("a" -> 1, "b" -> 2, "c" -> 30))
-    // the loser's orphaned data files (if any) are invisible and the table
-    // keeps working: a retry of A's merge now succeeds against parent 2
+    // the loser wrote only to its own staging dir — B's committed snap-2
+    // files were NEVER at risk of being overwritten, and the loser's staging
+    // is deleted on abort
+    val stagingLeft = Files.list(Paths.get(path, "data")).toArray
+      .map(_.toString).filter(_.contains("_staging-"))
+    assert(stagingLeft.isEmpty, s"loser staging must be cleaned: ${stagingLeft.toSeq}")
+    // the table keeps working: a retry of A's merge now succeeds against parent 2
     writerA.onBeforeCommit = () => ()
     val s3 = writerA.merge(Seq(("b", 99)).toDF("id", "v"))
     assert(s3 == 3 && writerA.read().as[(String, Int)].collect().toMap ==
       Map("a" -> 1, "b" -> 99, "c" -> 30))
+  }
+
+  test("crash recovery: an orphaned manifest (committed CAS, no pointer flip) is skipped, not a permanent wedge") {
+    val path = tmp()
+    val t = new MergeTable(spark, path, Seq("id"), numBuckets = 8)
+    t.merge(Seq(("a", 1)).toDF("id", "v")) // snapshot 1
+    // a writer that died between its manifest CREATE_NEW and its pointer
+    // flip leaves exactly this state: manifest v2 exists, _current still 1
+    Files.writeString(Paths.get(path, "_manifests", "v2.json"),
+      """{"snapshotId": 2, "parent": 1, "rowCount": 0, "buckets": {}}""")
+    assert(t.currentSnapshot.contains(1L))
+    // the next merge must allocate PAST the orphan (its commit was never
+    // visible — losing it is correct crash semantics) instead of colliding
+    // with it forever
+    val s = t.merge(Seq(("b", 2)).toDF("id", "v"))
+    assert(s == 3 && t.currentSnapshot.contains(3L))
+    assert(t.read().as[(String, Int)].collect().toMap == Map("a" -> 1, "b" -> 2))
+    // and the table keeps advancing normally afterwards
+    assert(t.merge(Seq(("c", 3)).toDF("id", "v")) == 4)
   }
 
   test("concurrent commit: manifest CREATE_NEW is the CAS — a planted rival manifest is never overwritten") {
