@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Eval, KgQueries, LangId, Mixture, Packing, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T, TopK, UrlOps}
+import graft.operators.{AsOfJoin, Dedup, Dsir, Eval, KgQueries, LangId, Mixture, Packing, RangeJoin, Relational => R, Similarity, Sketches, TextAnalysis => T, TopK, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +81,13 @@ object SparkEntry {
     // GPT-style sequence packing: concatenate-and-cut context windows via
     // the d13 distributed prefix sum (no single-partition global window)
     "d17_sequence_packing" -> ((s, d) => Packing.d17SequencePacking(s, d)),
+    // cross-document duplicated-span signal (Lee et al. ExactSubstr stat):
+    // grams hash to 60-bit bigints in the scan, both shuffles carry 8-byte
+    // keys, df dictionary pruned to df>=2 before the join back
+    "d18_dup_spans" -> ((s, d) => T.d18DupSpans(s, d)),
+    // DSIR importance weights: hashed-unigram target/raw models collapse to
+    // <=256 rows and broadcast; the only wide shuffle is per-doc partials
+    "d19_dsir_weights" -> ((s, d) => Dsir.d19DsirWeights(s, d)),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -215,6 +222,10 @@ object SparkEntry {
     // corpus with GUARANTEED duplicates (unchanged re-serves), so the
     // exact-dedup gate is non-vacuous (d3's driver fixture has none)
     "kg23_exact_dup_groups" -> (KgQueries.exactDupGroups _),
+    // snapshot-to-snapshot KG diff: added/removed facts between crawl 1 and
+    // the latest fetches — one qid window + ONE presence-flag groupBy (the
+    // distinct/anti-join form pays four shuffles); bodies parse in place
+    "kg24_triple_diff" -> (KgQueries.tripleDiff _),
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
@@ -856,6 +867,73 @@ object SparkEntry {
         |    THEN (start_off + n_tokens - 1) // 512 - start_off // 512 + 1
         |    ELSE 0 END AS BIGINT) AS n_windows
         |FROM s""".stripMargin,
+    // d18: duplicated-span replay — same trigram recipe as d12, positions
+    // hashed with the dd1/dd2 60-bit md5 recipe, distinct-doc df, join back
+    "d18_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS gh
+        |  FROM g),
+        |d AS (
+        |  SELECT gh, CAST(count(*) AS BIGINT) AS df_docs
+        |  FROM (SELECT DISTINCT doc_id, gh FROM p)
+        |  GROUP BY gh HAVING count(*) >= 2),
+        |s AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN df_docs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |    CAST(max(coalesce(df_docs, 0)) AS BIGINT) AS max_df
+        |  FROM p LEFT JOIN d USING (gh) GROUP BY doc_id)
+        |SELECT dd.doc_id,
+        |  coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_dup, 0) AS n_dup,
+        |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+        |       ELSE CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS dup_frac,
+        |  coalesce(max_df, 0) AS max_df,
+        |  coalesce(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5, false) AS flagged
+        |FROM documents dd LEFT JOIN s USING (doc_id)""".stripMargin,
+    // d19: DSIR replay — hashed-unigram buckets, add-one-smoothed target/raw
+    // models, mean per-token log ratio; rounded-verdict contract as d16
+    "d19_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, lang = 'en' AS tgt,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |k0 AS (SELECT doc_id, tgt, unnest(w) AS word FROM t),
+        |k AS (
+        |  SELECT doc_id, tgt,
+        |    CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) % 256 AS b
+        |  FROM k0),
+        |m AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS raw_c,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_c
+        |  FROM k GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(sum(raw_c) AS BIGINT) AS raw_t,
+        |    CAST(sum(tgt_c) AS BIGINT) AS tgt_t FROM m),
+        |dim AS (
+        |  SELECT b,
+        |    ln(CAST(tgt_c + 1 AS DOUBLE) / CAST(tgt_t + 256 AS DOUBLE))
+        |      - ln(CAST(raw_c + 1 AS DOUBLE) / CAST(raw_t + 256 AS DOUBLE)) AS lr
+        |  FROM m CROSS JOIN tot),
+        |s AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    sum(lr) / count(*) AS sc
+        |  FROM k JOIN dim USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(n_words, 0) AS n_words,
+        |  round(s.sc, 6) + 0 AS dsir_weight,
+        |  coalesce(round(s.sc, 6) + 0 > 0.0, false) AS selected
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)
@@ -1532,6 +1610,22 @@ object SparkEntry {
          |  count(DISTINCT url) AS n_urls, min(url) AS rep_url
          |FROM read_parquet('$OF/kg23_snapshots/*.parquet')
          |GROUP BY digest HAVING count(*) > 1""".stripMargin,
+    // kg24: snapshot-to-snapshot fact diff replayed from the materialized
+    // (qid, pid, value, ts) observation frame — latest fetch via a qid
+    // window, then both presence flags in one conditional aggregate
+    "kg24_triple_diff" ->
+      s"""WITH o AS (
+         |  SELECT * FROM read_parquet('$OF/kg24_obs/*.parquet')),
+         |m AS (
+         |  SELECT *, max(ts) OVER (PARTITION BY qid) AS max_ts FROM o),
+         |f AS (
+         |  SELECT qid, pid, value,
+         |    bool_or(ts < TIMESTAMP '2025-01-02 00:00:00') AS in_base,
+         |    bool_or(ts = max_ts) AS in_current
+         |  FROM m GROUP BY qid, pid, value)
+         |SELECT qid, pid, value,
+         |  CASE WHEN in_current THEN 'added' ELSE 'removed' END AS change
+         |FROM f WHERE in_base <> in_current""".stripMargin,
     // kg20: SCD-2 validity intervals replayed from the materialized
     // (qid, value, ts) observation frame — change points via lag, interval
     // ends via lead, exactly the engine's two stacked windows

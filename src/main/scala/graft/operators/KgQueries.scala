@@ -524,6 +524,65 @@ object KgQueries {
       .filter(col("id") =!= col("component"))
   }
 
+  /** (qid, pid, value, ts) observations of EVERY claim on a pages frame —
+    * the kg24 input: the all-properties generalization of
+    * [[scdObservations]] (which tracks the single P1082 fact for SCD-2).
+    */
+  def claimObservations(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    pages
+      .select(col("warc_ts"), col("html"))
+      .as[(java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (ts, html) =>
+        PagesGen.extractPayload(html).toSeq
+          .flatMap(WikidataJson.parseLine)
+          .flatMap(e => WikidataJson.toClaimRows(e, "en"))
+          .map(r => (r.qid, r.pid, r.valueScalar, ts))
+      }.toDF("qid", "pid", "value", "ts")
+  }
+
+  /** kg24: snapshot-to-snapshot KG DIFF — which (subj, pred, obj) facts the
+    * second crawl added and which it removed, the change feed a downstream
+    * KG maintainer consumes (the read-side complement of kg20's SCD-2
+    * write: kg20 versions ONE tracked fact over time, kg24 diffs the WHOLE
+    * fact set between two corpus states). Base state = every fact asserted
+    * by crawl 1; current state = every fact asserted by each entity's
+    * LATEST fetch. On the fixture: the i%6==0 population revisions emit an
+    * added+removed pair each, the i%24==1 new sameAs edges emit pure adds,
+    * and byte-identical re-serves cancel out entirely.
+    *
+    * 100 TB shape: pages parse to scalar claim rows in place — bodies never
+    * shuffle. Latest-fetch selection is one qid-keyed window over those
+    * scalars, and the diff itself is ONE groupBy computing both presence
+    * flags as conditional aggregates — two total shuffles, where the
+    * distinct-base EXCEPT distinct-current form pays four (two distincts +
+    * two anti-joins). Under graft.Verify the observation frame is
+    * materialized and the DuckDB oracle replays window + diff from first
+    * principles.
+    */
+  def tripleDiff(spark: SparkSession, dir: String): DataFrame =
+    tripleDiffFrame(materializeForOracle(
+      claimObservations(spark, pagesBoth(spark)), "kg24_obs"))
+
+  /** [[tripleDiff]] over any (qid, pid, value, ts) observation frame —
+    * base state = observations before [[PagesGen.crawl2Base]], current
+    * state = each qid's latest fetch. The seam the plan pin and the unit
+    * spec drive directly.
+    */
+  def tripleDiffFrame(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    obs
+      .withColumn("max_ts", max(col("ts")).over(Window.partitionBy("qid")))
+      .groupBy("qid", "pid", "value")
+      .agg(
+        max(col("ts") < lit(new java.sql.Timestamp(PagesGen.crawl2Base)))
+          .as("in_base"),
+        max(col("ts") === col("max_ts")).as("in_current"))
+      .filter(col("in_base") =!= col("in_current"))
+      .select(col("qid"), col("pid"), col("value"),
+        when(col("in_current"), "added").otherwise("removed").as("change"))
+  }
+
   /** kg23: exact-duplicate CONTENT groups across the two crawls — the d3
     * digest-groupBy shape over a corpus that provably contains duplicates:
     * every unchanged re-crawled page ([[PagesGen.pagesDelta]] re-serves

@@ -306,6 +306,76 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** d18: cross-document duplicated-span signal (the per-document statistic
+    * behind Lee et al. 2021 "Deduplicating Training Data Makes Language
+    * Models Better" §4's ExactSubstr pass): for every document, the fraction
+    * of its word-3-gram POSITIONS whose gram also occurs in at least one
+    * OTHER document. High-fraction docs are assembled from corpus-common
+    * spans (mirror paragraphs, templated boilerplate) and are the substring-
+    * level dupes exact whole-doc hashing (d2/d3) cannot see.
+    *
+    * 100 TB shape: grams never shuffle as strings — each position hashes to
+    * a 60-bit md5 bigint IN the scan projection ([[Sketches.kmvHash]], the
+    * dd1/dd2 signature recipe), so both shuffles (the distinct-doc df rollup
+    * and the inverted-index join back) carry 8-byte keys. The df dictionary
+    * is pruned to df ≥ 2 BEFORE the join back, the same
+    * filter-the-candidate-stream-before-its-shuffle rule as dd3's df cap.
+    * All outputs divide exact integers, so the doubles replay bit-for-bit.
+    */
+  def d18DupSpans(spark: SparkSession, dir: String,
+                  flagAt: Double = 0.5): DataFrame =
+    d18Frame(docs(spark, dir), flagAt)
+
+  /** [[d18DupSpans]] over any (doc_id, text) frame: positions are built
+    * once (persisted — they feed the df rollup AND the join back), scored,
+    * materialized.
+    */
+  def d18Frame(documents: DataFrame, flagAt: Double): DataFrame = {
+    val pos = documents
+      .select(col("doc_id"), gramsCol(wordsCol(col("text")), 3).as("gs"))
+      // explode_outer + null filter: the d12 lesson (plain explode pushes
+      // inferred predicates below the projection with the split kernel
+      // substituted into the scan filter)
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), Sketches.kmvHash(col("g")).as("gh"))
+      .persist()
+    val out = d18Plan(documents, pos, flagAt).localCheckpoint(true)
+    pos.unpersist()
+    out
+  }
+
+  /** The df/join/score plan over a (pre-persisted) position frame — the
+    * seam the plan-shape spec inspects (the entry's eager checkpoint hides
+    * it).
+    */
+  def d18Plan(documents: DataFrame, pos: DataFrame,
+              flagAt: Double): DataFrame = {
+    // distinct (doc, gram) pairs first (map-side combinable), then a plain
+    // count per gram — never count(DISTINCT) with its expand explosion
+    val dupDict = pos.distinct()
+      .groupBy("gh").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= 2)
+    val perDoc = pos
+      .join(dupDict, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df_docs").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        max(coalesce(col("df_docs"), lit(0L))).as("max_df"))
+    val frac = when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+      .otherwise(col("n_dup").cast("double") / col("n_grams").cast("double"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        frac.as("dup_frac"),
+        coalesce(col("max_df"), lit(0L)).as("max_df"),
+        (frac >= flagAt).as("flagged"))
+  }
+
   /** d16: CCNet-style LM quality filter with a deterministic in-corpus
     * bigram LM stand-in (CCNet scores documents with a pretrained Kneser-Ney
     * LM's perplexity and keeps the low-perplexity head; here the "LM" is

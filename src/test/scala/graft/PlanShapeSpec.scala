@@ -325,6 +325,57 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("d18: df rollup has no count-distinct Expand; join back is an equi-join on the hash") {
+    // pin the d18Plan seam over a tiny pre-hashed position frame
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val pos = Seq((1L, 11L), (1L, 12L), (2L, 11L)).toDF("doc_id", "gh")
+    val p = graft.operators.TextAnalysis.d18Plan(docs, pos, flagAt = 0.5)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Expand"),
+      "df must be distinct-then-count, never count(DISTINCT) expand\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("HashAggregate") && p.contains("partial_count"), p.take(1500))
+  }
+
+  test("d19: the log-ratio dim joins broadcast; scoring has no window, no cartesian") {
+    // pin the d19Plan seam over a tiny pre-bucketed token stream
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val toks = Seq((1L, true, 3L), (1L, true, 5L), (2L, false, 3L))
+      .toDF("doc_id", "tgt", "b")
+    val p = graft.operators.Dsir.d19Plan(docs, toks, buckets = 256,
+        selectAbove = 0.0)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the <=256-row model dim must broadcast\n" + p.take(1500))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("HashAggregate") && p.contains("partial_count"), p.take(1500))
+  }
+
+  test("kg24: the diff is window + ONE conditional aggregate — no join anywhere") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val obs = Seq(("q1", "p1", "v1", ts(1L)), ("q1", "p1", "v2", ts(2L)))
+      .toDF("qid", "pid", "value", "ts")
+    val p = graft.operators.KgQueries.tripleDiffFrame(obs)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), "presence flags fold in the aggregate, never a join\n" + p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+    // the window's qid shuffle satisfies the (qid,pid,value) grouping — the
+    // whole diff rides ONE hash exchange
+    val exchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected 1 hash exchange (window, reused by the agg), got $exchanges\n${p.take(1500)}")
+  }
+
   test("mm2: candidates bucket-join on (block, key) scalars; no cartesian pair formation") {
     // pin the shared simhash frame seam over a tiny signature frame
     val spark2 = spark

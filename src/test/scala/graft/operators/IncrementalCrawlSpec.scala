@@ -164,6 +164,34 @@ class IncrementalCrawlSpec extends AnyFunSuite {
     assert(between == first)
   }
 
+  test("kg24 triple diff: exactly the two change families, added/removed paired") {
+    val both = PagesGen.pages(spark, n).unionByName(PagesGen.pagesDelta(spark, n))
+    val got = KgQueries.tripleDiffFrame(KgQueries.claimObservations(spark, both))
+      .as[(String, String, String, String)].collect().toSeq
+    def idx(q: String) = q.substring(1).toLong - 100000L
+    // population revisions: one removed old + one added new P1082 per i%6==0
+    val pops = got.filter(_._2 == "P1082")
+    val popIdx = (0L until n).filter(_ % 6 == 0)
+    assert(pops.filter(_._4 == "added").map(r => idx(r._1)).sorted == popIdx)
+    assert(pops.filter(_._4 == "removed").map(r => idx(r._1)).sorted == popIdx)
+    pops.filter(_._4 == "added").foreach { r =>
+      assert(r._3 == s"+${2000000 + idx(r._1) % 999000}")
+    }
+    // old and new populations differ (the removal is real, not a re-key)
+    popIdx.foreach { i =>
+      val vs = pops.filter(r => idx(r._1) == i).map(_._3).distinct
+      assert(vs.size == 2, s"entity $i must swap one value for another")
+    }
+    // new identity evidence: one added sameAs per i%24==1 (target exists)
+    val same = got.filter(_._2 == PagesGen.sameAsPid)
+    assert(same.forall(_._4 == "added"))
+    assert(same.map(r => idx(r._1)).sorted ==
+      (0L until n).filter(i => i % 24 == 1 && i + 12 < n))
+    same.foreach(r => assert(r._3 == PagesGen.qid(idx(r._1) + 12)))
+    // and NOTHING else changed
+    assert(got.size == pops.size + same.size)
+  }
+
   // ── incremental connected components ───────────────────────────────────
 
   private def assignMap(df: org.apache.spark.sql.DataFrame): Map[String, String] =

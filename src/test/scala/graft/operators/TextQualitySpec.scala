@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantics of the Gopher-style repetition signals (d11) and the eval-set
@@ -107,5 +108,82 @@ class TextQualitySpec extends AnyFunSuite {
     // fixed threshold 3.0: only the repetitive doc is "head" material
     assert(k1 && !k2)
     assert(got(3L) == ((0L, None, false)) && got(4L) == ((0L, None, false)))
+  }
+
+  test("d18 dup spans: planted shared spans — fractions and df match hand computation") {
+    // docs 1+2 share the span "alpha beta gamma delta" (two shared 3-grams);
+    // doc 3 is all-unique; doc 4 too short for a 3-gram; doc 5 empty
+    val docs = Seq(
+      (1L, "alpha beta gamma delta one two"),
+      (2L, "x alpha beta gamma delta y"),
+      (3L, "p q r s"),
+      (4L, "just two"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.d18Frame(docs, flagAt = 0.5)
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // doc1: 4 grams, 2 dup ("alpha beta gamma", "beta gamma delta")
+    assert(got(1L) == ((4L, 2L, 0.5, 2L, true)))
+    // doc2: 4 grams, same 2 shared
+    assert(got(2L) == ((4L, 2L, 0.5, 2L, true)))
+    assert(got(3L) == ((2L, 0L, 0.0, 0L, false)))
+    assert(got(4L) == ((0L, 0L, 0.0, 0L, false)))
+    assert(got(5L) == ((0L, 0L, 0.0, 0L, false)))
+  }
+
+  test("d18 dup spans: within-doc repeats don't count as cross-doc dupes") {
+    // the gram "a b c" occurs twice in ONE doc: df_docs = 1 → not a dup
+    val docs = Seq(
+      (1L, "a b c z a b c"),
+      (2L, "m n o p")).toDF("doc_id", "text")
+    val got = TextAnalysis.d18Frame(docs, flagAt = 0.5)
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+  }
+
+  test("d19 dsir: target-like docs outweigh off-target docs; empty docs unselected") {
+    // target = lang 'en'; en-vocab and de-vocab are disjoint, so a raw 'xx'
+    // doc written in en-vocab must outweigh a raw 'xx' doc in de-vocab
+    val enText = "shared english corpus words here"
+    val deText = "ganz andere deutsche woerter hier"
+    val docs = Seq(
+      (1L, enText, "en"), (2L, enText, "en"), (3L, deText, "de"),
+      (4L, enText, "xx"), (5L, deText, "xx"), (6L, "", "xx"))
+      .toDF("doc_id", "text", "lang")
+    // at 10 target tokens the +256 add-one smoothing dominates and every
+    // weight is negative (ln((c+1)/(T+256)) ratios), so the fixture's
+    // select threshold sits between the two raw docs' weights instead of
+    // at the full-corpus default 0.0
+    val got = Dsir.d19Frame(docs, col("lang") === "en", buckets = 256,
+        selectAbove = -0.5)
+      .select("doc_id", "n_words", "dsir_weight", "selected")
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (n4, Some(w4), sel4) = got(4L)
+    val (n5, Some(w5), sel5) = got(5L)
+    assert(n4 == 5L && n5 == 5L)
+    assert(w4 > w5, s"target-like ($w4) must outweigh off-target ($w5)")
+    assert(sel4 && !sel5)
+    assert(got(6L) == ((0L, None, false)))
+    // independent replay of doc 4's weight: same md5 bucketing + smoothing
+    def bucket(word: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(word.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    val all = Seq.fill(3)(enText.split(" ")).flatten ++
+      Seq.fill(2)(deText.split(" ")).flatten
+    val tgt = Seq.fill(2)(enText.split(" ")).flatten
+    val rawC = all.groupBy(bucket).view.mapValues(_.size).toMap
+    val tgtC = tgt.groupBy(bucket).view.mapValues(_.size).toMap
+    val (rawT, tgtT) = (all.size.toDouble + 256, tgt.size.toDouble + 256)
+    val want = enText.split(" ").map { w =>
+      math.log((tgtC.getOrElse(bucket(w), 0) + 1) / tgtT) -
+        math.log((rawC.getOrElse(bucket(w), 0) + 1) / rawT)
+    }.sum / 5.0
+    assert(math.abs(w4 - BigDecimal(want).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 }
