@@ -88,6 +88,9 @@ object SparkEntry {
     // DSIR importance weights: hashed-unigram target/raw models collapse to
     // <=256 rows and broadcast; the only wide shuffle is per-doc partials
     "d19_dsir_weights" -> ((s, d) => Dsir.d19DsirWeights(s, d)),
+    // winnowing fingerprints (MOSS): window argmins selected entirely
+    // in-row with array expressions — one narrow projection, no shuffle
+    "d20_winnow_fingerprints" -> ((s, d) => T.d20Winnow(s, d)),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -226,6 +229,10 @@ object SparkEntry {
     // the latest fetches — one qid window + ONE presence-flag groupBy (the
     // distinct/anti-join form pays four shuffles); bodies parse in place
     "kg24_triple_diff" -> (KgQueries.tripleDiff _),
+    // bounded-round weighted shortest paths (min-plus Bellman-Ford) from
+    // the top hubs: exact BIGINT costs, one join + one min-groupBy per
+    // round — the weighted complement of the kg16 hop-count BFS
+    "kg25_sssp" -> (KgQueries.sssp _),
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
@@ -441,6 +448,30 @@ object SparkEntry {
        |f0 AS (SELECT * FROM d0),
        |$steps
        |SELECT seed, id, dist FROM d$hops""".stripMargin
+  }
+
+  /** kg25 oracle: Bellman-Ford relaxation rounds unrolled as chained CTEs
+    * over the materialized cost-edge frame — exact BIGINT min-plus, so the
+    * replay hash-matches the engine bit for bit (the bfsSql discipline).
+    */
+  private def ssspSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { h =>
+      s"""r$h AS (
+         |  SELECT seed, id, min(dist) AS dist FROM (
+         |    SELECT seed, id, dist FROM r${h - 1}
+         |    UNION ALL
+         |    SELECT d.seed, e.dst AS id, d.dist + e.cost AS dist
+         |    FROM r${h - 1} d JOIN e ON e.src = d.id) u
+         |  GROUP BY seed, id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT src, dst, cost FROM read_parquet('$OF/kg25_edges/*.parquet')),
+       |seeds AS (SELECT src AS id FROM (
+       |  SELECT src, count(*) AS d FROM (SELECT DISTINCT src, dst FROM e)
+       |  GROUP BY src ORDER BY d DESC, src ASC LIMIT 3)),
+       |r0 AS (SELECT id AS seed, id, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |$steps
+       |SELECT seed, id, dist FROM r$rounds""".stripMargin
   }
 
   /** Shared retrieval CTE for the em* oracles — mirrors Eval.retrieve:
@@ -934,6 +965,31 @@ object SparkEntry {
         |  round(s.sc, 6) + 0 AS dsir_weight,
         |  coalesce(round(s.sc, 6) + 0 > 0.0, false) AS selected
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    // d20: winnowing replay — same trigram + 60-bit hash recipe, window
+    // argmin with the first-position tie-break (list_position = first
+    // index), boundary rule: short docs get one window over all grams
+    "d20_winnow_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, list_transform(grams,
+        |    g -> CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)) AS hs
+        |  FROM g WHERE len(grams) > 0),
+        |s AS (
+        |  SELECT doc_id, hs,
+        |    list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+        |      i -> i - 1 + list_position(list_slice(hs, i, i + 3),
+        |                                 list_min(list_slice(hs, i, i + 3))))) AS sel
+        |  FROM h),
+        |x AS (SELECT doc_id, hs, unnest(sel) AS pos FROM s)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, hs[pos] AS fp FROM x""".stripMargin,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)
@@ -1592,6 +1648,7 @@ object SparkEntry {
         |SELECT t[1] AS q1, t[2] AS q2, t[3] AS q3 FROM s""".stripMargin,
     "kg15_pagerank" -> pagerankSql(iters = 10),
     "kg16_bfs" -> bfsSql(hops = 3),
+    "kg25_sssp" -> ssspSql(rounds = 3),
     // kg19: snapshot consolidation replayed from the materialized
     // (url, warc_ts, digest) frame — arg-min/max digests decide `changed`
     // (fetch times are unique per url by construction, so min_by/max_by

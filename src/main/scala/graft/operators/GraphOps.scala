@@ -194,6 +194,44 @@ object GraphOps {
       known
     }
 
+  /** Bounded-round weighted shortest paths (Bellman-Ford relaxation over
+    * the min-plus semiring): after `rounds` rounds, `dist(seed, id)` is the
+    * exact minimum total cost over all paths of ≤ `rounds` edges — the
+    * weighted generalization of [[bfsDistances]] (hop counts are the
+    * special case cost ≡ 1). Costs are INTEGER, so every relaxation is
+    * exact and order-independent: the result is partition-invariant and
+    * bit-replayable by a SQL engine unrolling the same rounds (the kg25
+    * DuckDB oracle) — float costs could never hash-match across engines.
+    *
+    * Bounded rounds rather than run-to-fixpoint is the scale choice, same
+    * as the kg16 BFS: on a small-world KG the interesting neighborhood is
+    * a few hops, and each round is one shuffle join + one min-groupBy on
+    * (seed, id) scalars. The dist frame is materialized per round
+    * (checkpoint discipline of [[pageRankInt]]) so plans never compound;
+    * pass `checkpointDir` for reliable checkpoints on a real cluster.
+    *
+    * Input: directed (src, dst, cost) with cost ≥ 0; seeds (id). Output:
+    * (seed, id, dist), one row per reached node per seed.
+    */
+  def ssspBounded(edges0: DataFrame, seeds: DataFrame, rounds: Int,
+                  checkpointDir: Option[String] = None): DataFrame =
+    graft.tables.Checkpoints.withDir(edges0.sparkSession, checkpointDir) { materialize =>
+      val edges = edges0.select("src", "dst", "cost").distinct().persist()
+      edges.count()
+      var dist = materialize(seeds.select(col("id").as("seed"))
+        .withColumn("id", col("seed")).withColumn("dist", lit(0L)))
+      for (_ <- 1 to rounds) {
+        val relaxed = dist
+          .join(edges, dist("id") === edges("src"))
+          .select(col("seed"), col("dst").as("id"),
+            (col("dist") + col("cost")).as("dist"))
+        dist = materialize(dist.unionByName(relaxed)
+          .groupBy("seed", "id").agg(min(col("dist")).as("dist")))
+      }
+      edges.unpersist()
+      dist
+    }
+
   /** Triangle enumeration with degree-ordered orientation (compact-forward):
     * every undirected edge is oriented from its (degree, id)-smaller
     * endpoint to the larger, which turns the edge set into a DAG where each

@@ -524,6 +524,34 @@ object KgQueries {
       .filter(col("id") =!= col("component"))
   }
 
+  /** kg25: bounded-hop WEIGHTED shortest paths from the top-degree hubs
+    * over the entity co-occurrence graph — the min-plus complement of the
+    * kg16 hop-count BFS: edge cost falls with co-occurrence strength
+    * (`1000000 div (w+1)`, exact integer), so a 2-hop route through
+    * strongly-associated entities can beat a weak direct edge — the
+    * "semantic proximity" read a KG serves (related-entity panels,
+    * navigation ranking). Three Bellman-Ford rounds in exact BIGINT
+    * arithmetic ([[GraphOps.ssspBounded]]); the DuckDB oracle unrolls the
+    * same three relaxations from the materialized cost-edge frame and
+    * hash-matches bit for bit.
+    */
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    val labelsDf = labels(spark)
+    val resolved = Linker.resolvedMentions(spark, extractText(spark, dir), dictOf(labelsDf))
+    val urlQid = Linker.explodeCandidates(resolved).select("url", "qid")
+    // checkpointed once: seeds AND ssspBounded both read the edge frame
+    val und = GraphOps.cooccurEdges(urlQid, minShared = 2).localCheckpoint(true)
+    val cost = expr("1000000 div (w + 1)")
+    val sym = und.select(col("a").as("src"), col("b").as("dst"), cost.as("cost"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"), cost.as("cost")))
+    val edges = materializeForOracle(sym, "kg25_edges")
+    // seed selection identical to kg16: top-3 out-degree, ties by id
+    val seeds = edges.select("src", "dst").distinct()
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("id").asc).limit(3).select("id")
+    GraphOps.ssspBounded(edges, seeds, rounds = 3)
+  }
+
   /** (qid, pid, value, ts) observations of EVERY claim on a pages frame —
     * the kg24 input: the all-properties generalization of
     * [[scdObservations]] (which tracks the single P1082 fact for SCD-2).

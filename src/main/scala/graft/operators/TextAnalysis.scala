@@ -376,6 +376,59 @@ object TextAnalysis {
         (frac >= flagAt).as("flagged"))
   }
 
+  /** d20: winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    * window over `w` consecutive gram hashes, and select each window's
+    * minimal hash (FIRST-position tie-break — deterministic and directly
+    * replayable in SQL; classic winnowing prefers the rightmost tie for
+    * marginally sparser output — a density choice, not a correctness one).
+    * The selected (position, hash) pairs are the document's fingerprint:
+    * any shared run of ≥ w+k-1 words between two documents is GUARANTEED
+    * to yield a shared fingerprint hash — the local-coverage property
+    * substring-level dup detection needs and MinHash (one global sample
+    * per doc) cannot give. Documents with fewer than w grams still
+    * fingerprint (one window over all their grams, the paper's boundary
+    * rule), so every non-empty-gram doc emits ≥ 1 row.
+    *
+    * 100 TB shape: selection is entirely IN-ROW — gram hashing, window
+    * argmins and position dedup are higher-order array expressions — so
+    * the operator is one narrow projection + a Generate; nothing shuffles
+    * (plan-pinned, the d11 discipline). Output (doc_id, pos, fp) feeds any
+    * downstream index/join; fp is the 60-bit md5 recipe shared with
+    * dd1/dd2, so fingerprints from different corpus slices are comparable.
+    */
+  def d20Winnow(spark: SparkSession, dir: String,
+                k: Int = 3, w: Int = 4): DataFrame =
+    d20Frame(docs(spark, dir), k, w)
+
+  /** [[d20Winnow]] over any (doc_id, text) frame. */
+  def d20Frame(documents: DataFrame, k: Int, w: Int): DataFrame = {
+    // stage `hs` through its own projection (the d12 lesson: the hash
+    // kernel is non-cheap and multiply-referenced below)
+    val staged = documents.select(
+      col("doc_id"),
+      transform(gramsCol(wordsCol(col("text")), k),
+        g => Sketches.kmvHash(g)).as("hs"))
+    val n = size(col("hs"))
+    // gram-less docs take the empty-starts branch (sequence(1, 0) would
+    // count DOWN — the gramsCol guard) and vanish at the explode
+    val starts = when(n === 0, typedLit(Seq.empty[Int]))
+      .otherwise(sequence(lit(1), greatest(n - lit(w - 1), lit(1))))
+    val sel = array_distinct(transform(starts, i => {
+      val sl = slice(col("hs"), i, lit(w))
+      val mn = array_min(sl)
+      // first position of the window minimum: deterministic tie-break
+      (i - 1) + array_min(filter(sequence(lit(1), size(sl)),
+        kk => element_at(sl, kk) === mn))
+    }))
+    staged
+      .select(col("doc_id"),
+        explode(transform(sel, p =>
+          struct(p.cast("long").as("pos"),
+            element_at(col("hs"), p).as("fp")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+  }
+
   /** d16: CCNet-style LM quality filter with a deterministic in-corpus
     * bigram LM stand-in (CCNet scores documents with a pretrained Kneser-Ney
     * LM's perplexity and keeps the low-perplexity head; here the "LM" is

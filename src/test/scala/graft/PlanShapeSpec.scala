@@ -325,6 +325,13 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("d20: winnowing selects fingerprints in-row — one projection + Generate, no Exchange") {
+    val p = planOf("d20_winnow_fingerprints")
+    assert(!p.contains("Exchange"),
+      "window argmins are array expressions — nothing may shuffle\n" + p.take(1500))
+    assert(p.contains("Generate"), "the fingerprint explode is the only wide op")
+  }
+
   test("d18: df rollup has no count-distinct Expand; join back is an equi-join on the hash") {
     // pin the d18Plan seam over a tiny pre-hashed position frame
     val spark2 = spark

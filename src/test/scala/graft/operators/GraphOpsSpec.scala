@@ -195,6 +195,50 @@ class GraphOpsSpec extends AnyFunSuite {
       ("ISOLATED_SRC", "ISOLATED_DST", 1)))
   }
 
+  test("ssspBounded: weighted paths beat costly direct edges; rounds bound hop count") {
+    val edges = Seq(
+      ("s", "a", 10L), ("a", "b", 1L), ("s", "b", 100L),
+      ("b", "c", 1L), ("c", "d", 1L)).toDF("src", "dst", "cost")
+    val seeds = Seq("s").toDF("id")
+    def run(rounds: Int): Map[String, Long] =
+      GraphOps.ssspBounded(edges, seeds, rounds)
+        .as[(String, String, Long)].collect()
+        .map(r => r._2 -> r._3).toMap
+    // rounds=3: b via a (11) beats the direct 100-cost edge (NOT a BFS);
+    // d is only 3-hop-reachable through the expensive b edge
+    assert(run(3) == Map("s" -> 0L, "a" -> 10L, "b" -> 11L, "c" -> 12L, "d" -> 102L))
+    // one more round relaxes d through the cheap chain
+    assert(run(4)("d") == 13L)
+  }
+
+  test("ssspBounded == driver-side Bellman-Ford on seeded random weighted graphs") {
+    val rnd = new scala.util.Random(20260818L)
+    val n = 30
+    val ids = (0 until n).map(i => f"Q$i%03d")
+    val edges = (for {
+      i <- 0 until n; j <- 0 until n if i != j && rnd.nextDouble() < 0.08
+    } yield (ids(i), ids(j), 1L + rnd.nextInt(20))).toSet
+    val seeds = Seq(ids(0), ids(5))
+    val rounds = 3
+    val got = GraphOps.ssspBounded(edges.toSeq.toDF("src", "dst", "cost"),
+        seeds.toDF("id"), rounds)
+      .as[(String, String, Long)].collect()
+    assert(got.length == got.map(r => (r._1, r._2)).distinct.length,
+      "duplicate (seed, id) rows")
+    // brute Bellman-Ford: rounds synchronous relaxations
+    val want = seeds.flatMap { s =>
+      var dist = Map(s -> 0L)
+      (1 to rounds).foreach { _ =>
+        val relaxed = edges.toSeq.flatMap { case (u, v, c) =>
+          dist.get(u).map(du => v -> (du + c)) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      }
+      dist.map { case (id, d) => (s, id) -> d }
+    }.toMap
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+  }
+
   test("bfs + triangles: reliable checkpoint mode (checkpointDir) == localCheckpoint mode") {
     val rnd = new scala.util.Random(7L)
     val ids = (0 until 30).map(i => f"Q$i%03d")

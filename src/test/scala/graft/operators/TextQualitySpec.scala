@@ -186,4 +186,72 @@ class TextQualitySpec extends AnyFunSuite {
     assert(math.abs(w4 - BigDecimal(want).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  // driver-side md5 60-bit hash (the kmvHash recipe) for the d20 replica
+  private def hash60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  // full winnowing replica: k-gram hashes, first-argmin per window of w,
+  // boundary rule (short docs get one window), position-distinct
+  private def winnowReplica(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (words.length < k) return Set.empty
+    val hs = words.sliding(k).map(g => hash60(g.mkString(" "))).toVector
+    val starts = 1 to math.max(hs.size - w + 1, 1)
+    starts.map { i =>
+      val sl = hs.slice(i - 1, math.min(i - 1 + w, hs.size))
+      val pos = i - 1 + sl.indexOf(sl.min) + 1 // first-position tie-break
+      (pos.toLong, hs(pos - 1))
+    }.toSet
+  }
+
+  test("d20 winnowing == driver-side replica on seeded random docs") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = TextAnalysis.d20Frame(docs.toDF("doc_id", "text"), k = 3, w = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val want = winnowReplica(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id: '$text'")
+    }
+    // winnowing guarantee on the non-trivial docs: every w-window of gram
+    // positions contains a selected one (gap coverage)
+    docs.foreach { case (id, text) =>
+      val nGrams = math.max(text.trim.split("\\s+").count(_.nonEmpty) - 2, 0)
+      if (nGrams >= 4) {
+        val ps = got(id).map(_._1).toSeq.sorted
+        (1L to (nGrams - 4 + 1).toLong).foreach { i =>
+          assert(ps.exists(p => p >= i && p < i + 4),
+            s"doc $id: window at $i has no fingerprint")
+        }
+      }
+    }
+  }
+
+  test("d20: a shared word run of >= w+k-1 words yields a shared fingerprint") {
+    val block = "omega kappa sigma delta theta lambda" // 6 words = w+k-1
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $block v1 v2"),
+      (2L, s"z9 $block z1 z2 z3 z4")).toDF("doc_id", "text")
+    val fps = TextAnalysis.d20Frame(docs, k = 3, w = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "the shared block must fingerprint identically in both docs")
+  }
+
+  test("d20: boundary docs — exactly k words emit one fingerprint, shorter none") {
+    val docs = Seq(
+      (1L, "one two three"), (2L, "just two"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.d20Frame(docs, k = 3, w = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L, hash60("one two three"))))
+  }
 }
