@@ -4,7 +4,7 @@ import graft.link.{Embedder, Linker}
 import graft.model.WikidataJson
 import graft.pipeline.{PagesGen, TextifyStage}
 import graft.triples.Triples
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** KG-pipeline stages exposed as standalone queries for the driver's
@@ -284,20 +284,33 @@ object KgQueries {
     * as chained CTEs — see [[GraphOps.bfsDistances]].
     */
   def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, seeds) = hubGraph(spark, dir, "kg16_edges", cost = None)
+    GraphOps.bfsDistances(edges, seeds, maxHops = 3)
+  }
+
+  /** Shared kg16/kg25 traversal setup: the symmetrized co-occurrence edge
+    * frame (optionally cost-weighted), materialized for the oracle under
+    * `frameName`, plus the top-3 out-degree hub seeds (ties by id). One
+    * builder so the two graph queries — and their chained-CTE oracles,
+    * which replay this exact seed selection — can never diverge.
+    */
+  private def hubGraph(spark: SparkSession, dir: String, frameName: String,
+                       cost: Option[Column]): (DataFrame, DataFrame) = {
     val labelsDf = labels(spark)
     val resolved = Linker.resolvedMentions(spark, extractText(spark, dir), dictOf(labelsDf))
     val urlQid = Linker.explodeCandidates(resolved).select("url", "qid")
-    // checkpointed once: seeds AND bfsDistances both read the edge frame
+    // checkpointed once: seeds AND the traversal both read the edge frame
     // (see pagerank above for why)
     val und = GraphOps.cooccurEdges(urlQid, minShared = 2).localCheckpoint(true)
-    val sym = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-    val edges = materializeForOracle(sym, "kg16_edges")
+    val costCols = cost.map(_.as("cost")).toSeq
+    val sym = und.select(col("a").as("src") +: col("b").as("dst") +: costCols: _*)
+      .unionByName(und.select(col("b").as("src") +: col("a").as("dst") +: costCols: _*))
+    val edges = materializeForOracle(sym, frameName)
     // degree in the symmetric frame = out-degree; top-3, ties by id
     val seeds = edges.select("src", "dst").distinct()
       .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("id").asc).limit(3).select("id")
-    GraphOps.bfsDistances(edges, seeds, maxHops = 3)
+    (edges, seeds)
   }
 
   /** Qualifier + reference sub-triples (P6, notebook get_triplets semantics):
@@ -462,19 +475,10 @@ object KgQueries {
   /** (qid, value, ts) P1082 observations of a pages frame — the kg20 input,
     * shared with the streaming twin's per-crawl fixtures (CrawlStreamSpec).
     */
-  def scdObservations(spark: SparkSession, pages: DataFrame): DataFrame = {
-    import spark.implicits._
-    pages
-      .select(col("warc_ts"), col("html"))
-      .as[(java.sql.Timestamp, Array[Byte])]
-      .flatMap { case (ts, html) =>
-        PagesGen.extractPayload(html).toSeq
-          .flatMap(WikidataJson.parseLine)
-          .flatMap(e => WikidataJson.toClaimRows(e, "en"))
-          .filter(_.pid == "P1082")
-          .map(r => (r.qid, r.valueScalar, ts))
-      }.toDF("qid", "value", "ts")
-  }
+  def scdObservations(spark: SparkSession, pages: DataFrame): DataFrame =
+    claimObservations(spark, pages)
+      .filter(col("pid") === "P1082")
+      .select("qid", "value", "ts")
 
   /** kg22: point-in-time (AS-OF) snapshot read over the kg20 SCD-2 triple
     * history — "the graph as it was at T": each probe timestamp returns
@@ -536,19 +540,8 @@ object KgQueries {
     * hash-matches bit for bit.
     */
   def sssp(spark: SparkSession, dir: String): DataFrame = {
-    val labelsDf = labels(spark)
-    val resolved = Linker.resolvedMentions(spark, extractText(spark, dir), dictOf(labelsDf))
-    val urlQid = Linker.explodeCandidates(resolved).select("url", "qid")
-    // checkpointed once: seeds AND ssspBounded both read the edge frame
-    val und = GraphOps.cooccurEdges(urlQid, minShared = 2).localCheckpoint(true)
-    val cost = expr("1000000 div (w + 1)")
-    val sym = und.select(col("a").as("src"), col("b").as("dst"), cost.as("cost"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst"), cost.as("cost")))
-    val edges = materializeForOracle(sym, "kg25_edges")
-    // seed selection identical to kg16: top-3 out-degree, ties by id
-    val seeds = edges.select("src", "dst").distinct()
-      .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      .orderBy(col("d").desc, col("id").asc).limit(3).select("id")
+    val (edges, seeds) = hubGraph(spark, dir, "kg25_edges",
+      cost = Some(expr("1000000 div (w + 1)")))
     GraphOps.ssspBounded(edges, seeds, rounds = 3)
   }
 

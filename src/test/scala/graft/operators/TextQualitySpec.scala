@@ -167,12 +167,7 @@ class TextQualitySpec extends AnyFunSuite {
     assert(sel4 && !sel5)
     assert(got(6L) == ((0L, None, false)))
     // independent replay of doc 4's weight: same md5 bucketing + smoothing
-    def bucket(word: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(word.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 15)
-      java.lang.Long.parseLong(hex, 16) % 256
-    }
+    def bucket(word: String): Long = hash60(word) % 256
     val all = Seq.fill(3)(enText.split(" ")).flatten ++
       Seq.fill(2)(deText.split(" ")).flatten
     val tgt = Seq.fill(2)(enText.split(" ")).flatten
