@@ -91,6 +91,10 @@ object SparkEntry {
     // winnowing fingerprints (MOSS): window argmins selected entirely
     // in-row with array expressions — one narrow projection, no shuffle
     "d20_winnow_fingerprints" -> ((s, d) => T.d20Winnow(s, d)),
+    // duplicated-span REMOVAL (the d18 detect → apply pair, as dd1 → dd5):
+    // covered positions collapse to one int array per doc; text moves only
+    // in the final doc-keyed rendezvous; the word surgery is in-row
+    "d21_dup_span_removal" -> ((s, d) => T.d21DupSpanRemoval(s, d)),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -990,6 +994,43 @@ object SparkEntry {
         |  FROM h),
         |x AS (SELECT doc_id, hs, unnest(sel) AS pos FROM s)
         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, hs[pos] AS fp FROM x""".stripMargin,
+    // d21: span-removal replay — d18's hashed-gram df dictionary, covered
+    // positions via list expansion, word surgery with an indexed
+    // list_filter (1-based j, matching the engine's i0+1)
+    "d21_dup_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w, list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, list_transform(grams,
+        |    g -> CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)) AS hs
+        |  FROM g),
+        |p AS (SELECT doc_id, unnest(hs) AS gh,
+        |        unnest(range(1, len(hs) + 1)) AS i FROM h),
+        |d AS (
+        |  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM p)
+        |  GROUP BY gh HAVING count(*) >= 2),
+        |st AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list_transform(list(i),
+        |      s -> [s, s + 1, s + 2]))) AS covered
+        |  FROM p JOIN d USING (gh) GROUP BY doc_id),
+        |q AS (
+        |  SELECT g.doc_id, w,
+        |    list_filter(w, (x, j) ->
+        |      NOT list_contains(coalesce(covered, []::BIGINT[]), j)) AS kept
+        |  FROM g LEFT JOIN st USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+        |FROM q""".stripMargin,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)

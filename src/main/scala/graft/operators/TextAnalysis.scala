@@ -376,6 +376,73 @@ object TextAnalysis {
         (frac >= flagAt).as("flagged"))
   }
 
+  /** d21: duplicated-span REMOVAL — the application half of [[d18DupSpans]]
+    * (Lee et al. 2021 don't just detect cross-document spans, they cut them
+    * out of the training text): every word position covered by a trigram
+    * that also occurs in another document is dropped, and the surviving
+    * words re-join into `cleaned_text`. The detect/apply split mirrors
+    * dd1/dd5 for whole documents.
+    *
+    * 100 TB shape: detection is d18's (8-byte hashed-gram shuffles, df
+    * dictionary pruned to df ≥ 2 before the join back); the per-doc covered
+    * positions collapse to ONE bounded int array, and the only text
+    * movement in the whole operator is the final doc-keyed join that
+    * brings that array to the document's row — the same unavoidable
+    * rendezvous dd5's delete-list apply pays. The surgery itself (filter
+    * words by covered membership) is in-row.
+    */
+  def d21DupSpanRemoval(spark: SparkSession, dir: String,
+                        k: Int = 3): DataFrame =
+    d21Frame(docs(spark, dir), k)
+
+  /** [[d21DupSpanRemoval]] over any (doc_id, text) frame. */
+  def d21Frame(documents: DataFrame, k: Int): DataFrame = {
+    val staged = documents.select(
+      col("doc_id"),
+      transform(gramsCol(wordsCol(col("text")), k),
+        g => Sketches.kmvHash(g)).as("hs"))
+    // gram positions carry their 1-based index (posexplode_outer + null
+    // filter: the d12 lesson); persisted — feeds the df rollup AND the
+    // covered-position rollup
+    val pos = staged
+      .select(col("doc_id"), posexplode_outer(col("hs")).as(Seq("i0", "gh")))
+      .filter(col("gh").isNotNull)
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("gh"))
+      .persist()
+    val out = d21Plan(documents, pos, k).localCheckpoint(true)
+    pos.unpersist()
+    out
+  }
+
+  /** The df/covered/surgery plan over a (pre-persisted) position frame —
+    * the seam the plan-shape spec inspects.
+    */
+  def d21Plan(documents: DataFrame, pos: DataFrame, k: Int): DataFrame = {
+    // same dictionary discipline as d18Plan: distinct pairs, plain count
+    val dupDict = pos.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= 2).select("gh")
+    // a dup gram starting at i covers word positions i .. i+k-1
+    val covered = pos.join(dupDict, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(collect_list(array((0 until k).map(d => col("i") + lit(d.toLong)): _*))
+        .as("_c"))
+      .select(col("doc_id"), array_distinct(flatten(col("_c"))).as("cov"))
+    documents.select(col("doc_id"), wordsCol(col("text")).as("w"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("cov"), typedLit(Seq.empty[Long])).as("cov"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        filter(col("w"), (_, i) =>
+          !array_contains(col("cov"), (i + 1).cast("long"))).as("_kept"))
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("n_words") - size(col("_kept")).cast("long")).as("n_removed"),
+        concat_ws(" ", col("_kept")).as("cleaned_text"))
+  }
+
   /** d20: winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
     * window over `w` consecutive gram hashes, and select each window's

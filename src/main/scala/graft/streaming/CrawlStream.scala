@@ -111,4 +111,57 @@ object CrawlStream {
             ScdRow(qid, n, ov, of, None)).iterator
       }.toDF()
   }
+
+  final case class FactObs(qid: String, pid: String, value: String, ts_ms: Long)
+  final case class DiffState(firstTs: Long, first: List[(String, String)],
+                             latestTs: Long, latest: List[(String, String)],
+                             nFetches: Long)
+  final case class DiffRow(qid: String, n_fetches: Long, pid: String,
+                           value: String, change: String)
+
+  /** kg24 as a stream: the snapshot-to-snapshot fact DIFF maintained
+    * incrementally — per qid, GroupState carries the fact set of the FIRST
+    * fetch (the base state) and of the LATEST fetch; every batch that
+    * touches the qid re-emits its full added/removed diff stamped with a
+    * monotone fetch count (the upsert handle: a MERGE sink replaces the
+    * qid's diff rows with the newest version; the first-fetch emission is
+    * empty by construction, so there are no stale rows to tombstone on
+    * this corpus shape). State is bounded by 2× the entity's fact count —
+    * independent of how many times it is re-fetched. Input: a streaming
+    * (qid, pid, value, ts) frame ([[graft.operators.KgQueries.claimObservations]]
+    * of the crawl drop).
+    */
+  def diffStream(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val ds = obs.select(col("qid"), col("pid"), col("value"),
+      unix_millis(col("ts").cast("timestamp")).as("ts_ms")).as[FactObs]
+    ds.groupByKey(_.qid)
+      .flatMapGroupsWithState[DiffState, DiffRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (qid, it, state) =>
+          var s = state.getOption.orNull
+          // a fetch = all claim rows sharing one ts; fold fetches in time
+          // order so first/latest are exact whatever the batch slicing
+          it.toSeq.groupBy(_.ts_ms).toSeq.sortBy(_._1).foreach { case (ts, rows) =>
+            val set = rows.map(r => (r.pid, r.value)).distinct.toList
+            s =
+              if (s == null) DiffState(ts, set, ts, set, 1)
+              else {
+                val (ft, ff) =
+                  if (ts < s.firstTs) (ts, set) else (s.firstTs, s.first)
+                val (lt, ll) =
+                  if (ts > s.latestTs) (ts, set) else (s.latestTs, s.latest)
+                DiffState(ft, ff, lt, ll, s.nFetches + 1)
+              }
+          }
+          state.update(s)
+          val base = s.first.toSet
+          val cur = s.latest.toSet
+          ((cur -- base).toSeq.map { case (p, v) =>
+            DiffRow(qid, s.nFetches, p, v, "added") } ++
+            (base -- cur).toSeq.map { case (p, v) =>
+              DiffRow(qid, s.nFetches, p, v, "removed") }).iterator
+      }.toDF()
+  }
 }

@@ -332,6 +332,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "the fingerprint explode is the only wide op")
   }
 
+  test("d21: covered positions fold to one array; all joins equi, no Expand") {
+    // pin the d21Plan seam over a tiny pre-hashed position frame
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val pos = Seq((1L, 1L, 11L), (1L, 2L, 12L), (2L, 1L, 11L))
+      .toDF("doc_id", "i", "gh")
+    val p = graft.operators.TextAnalysis.d21Plan(docs, pos, k = 3)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Expand"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(1500))
+  }
+
   test("d18: df rollup has no count-distinct Expand; join back is an equi-join on the hash") {
     // pin the d18Plan seam over a tiny pre-hashed position frame
     val spark2 = spark

@@ -142,6 +142,23 @@ class TextQualitySpec extends AnyFunSuite {
     assert(got(1L) == 0L && got(2L) == 0L)
   }
 
+  test("d21 span removal: covered words cut, others verbatim, within-doc repeats kept") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta one two"), // grams 1,2 dup → words 1-4 cut
+      (2L, "x alpha beta gamma delta y"),     // grams 2,3 dup → words 2-5 cut
+      (3L, "p q r s"),                        // unique: untouched
+      (4L, "a b c z a b c"),                  // within-doc repeat only: untouched
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.d21Frame(docs, k = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((6L, 4L, "one two")))
+    assert(got(2L) == ((6L, 4L, "x y")))
+    assert(got(3L) == ((4L, 0L, "p q r s")))
+    assert(got(4L) == ((7L, 0L, "a b c z a b c")))
+    assert(got(5L) == ((0L, 0L, "")))
+  }
+
   test("d19 dsir: target-like docs outweigh off-target docs; empty docs unselected") {
     // target = lang 'en'; en-vocab and de-vocab are disjoint, so a raw 'xx'
     // doc written in en-vocab must outweigh a raw 'xx' doc in de-vocab

@@ -99,4 +99,28 @@ class CrawlStreamSpec extends AnyFunSuite {
       .map(_.qid).toSet.exists(q => perQid(q) == 1)
     assert(twoObsOneInterval, "expected an extended-in-place open interval")
   }
+
+  test("diffStream over two crawl drops == batch tripleDiff; base set carries across batches") {
+    val obs1 = KgQueries.claimObservations(spark, PagesGen.pages(spark, n))
+    val obs2 = KgQueries.claimObservations(spark, PagesGen.pagesDelta(spark, n))
+    val dir = streamDir("diff", Seq(obs1, obs2))
+    val schema = spark.read.parquet(s"$dir/b00.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val emitted = runUpdate(CrawlStream.diffStream(stream), "diff_stream")
+      .as[CrawlStream.DiffRow].collect()
+    // upsert semantics: last emission per qid is its table state (the
+    // first-fetch emission is empty by construction — spot-checked below)
+    val got = emitted.groupBy(_.qid).view
+      .mapValues { rs => val last = rs.map(_.n_fetches).max; rs.filter(_.n_fetches == last) }
+      .values.flatten
+      .map(r => (r.qid, r.pid, r.value, r.change)).toSet
+    val want = KgQueries.tripleDiffFrame(obs1.unionByName(obs2))
+      .as[(String, String, String, String)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty, "the corpus must produce a non-empty diff")
+    // the base set provably crossed the batch boundary: every emission with
+    // rows is a crawl-2 (n_fetches == 2) one diffing against crawl-1 state
+    assert(emitted.forall(_.n_fetches == 2L))
+  }
 }
