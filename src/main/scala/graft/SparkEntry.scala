@@ -95,6 +95,10 @@ object SparkEntry {
     // covered positions collapse to one int array per doc; text moves only
     // in the final doc-keyed rendezvous; the word surgery is in-row
     "d21_dup_span_removal" -> ((s, d) => T.d21DupSpanRemoval(s, d)),
+    // bloom-filter decontamination (d12's documented scale degradation as
+    // its own gate): eval grams fold to ONE fixed-size OR-merged bitset
+    // that rides a 1-row broadcast; probe grams never shuffle
+    "d22_bloom_decontaminate" -> ((s, d) => T.d22BloomDecontaminate(s, d)),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -237,6 +241,10 @@ object SparkEntry {
     // the top hubs: exact BIGINT costs, one join + one min-groupBy per
     // round — the weighted complement of the kg16 hop-count BFS
     "kg25_sssp" -> (KgQueries.sssp _),
+    // community detection: deterministic synchronous weighted label
+    // propagation, four unrolled vote rounds, bounded argmax aggregate
+    // (min(struct)) — never a per-node window sort
+    "kg26_communities" -> (KgQueries.communities _),
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
@@ -476,6 +484,35 @@ object SparkEntry {
        |r0 AS (SELECT id AS seed, id, CAST(0 AS BIGINT) AS dist FROM seeds),
        |$steps
        |SELECT seed, id, dist FROM r$rounds""".stripMargin
+  }
+
+  /** kg26 oracle: synchronous weighted label propagation with each vote
+    * round UNROLLED as chained CTEs (votes → deterministic argmax →
+    * relabel) over the materialized weighted edge frame. The argmax is a
+    * row_number window over the total (votes desc, label asc) order —
+    * semantically identical to the engine's bounded `min(struct(-sw,
+    * label))` aggregate; integer vote sums make the replay hash-exact.
+    */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { h =>
+      s"""v$h AS (
+         |  SELECT e.dst AS id, l.label, CAST(sum(e.w) AS BIGINT) AS sw
+         |  FROM e JOIN l${h - 1} l ON l.id = e.src GROUP BY e.dst, l.label),
+         |w$h AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |      row_number() OVER (PARTITION BY id ORDER BY sw DESC, label ASC) AS rn
+         |    FROM v$h) WHERE rn = 1),
+         |l$h AS (
+         |  SELECT p.id, coalesce(w.label, p.label) AS label
+         |  FROM l${h - 1} p LEFT JOIN w$h w USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT src, dst, cost AS w FROM read_parquet('$OF/kg26_edges/*.parquet')),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |$steps
+       |SELECT id, label AS community FROM l$rounds""".stripMargin
   }
 
   /** Shared retrieval CTE for the em* oracles — mirrors Eval.retrieve:
@@ -1031,6 +1068,41 @@ object SparkEntry {
         |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
         |  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
         |FROM q""".stripMargin,
+    // d22: bloom replay — identical md5-nibble positions on both engines,
+    // so even the filter's false positives match; membership = all three
+    // positions present in the eval-side distinct-position set (exactly
+    // the bitset's semantics, without materializing words)
+    "d22_bloom_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+        |  FROM t),
+        |x AS (SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams, unnest(grams) AS gram FROM g),
+        |p AS (
+        |  SELECT doc_id, n_grams,
+        |    CAST('0x' || substring(md5(gram), 1, 4) AS INTEGER) % 65536 AS p1,
+        |    CAST('0x' || substring(md5(gram), 5, 4) AS INTEGER) % 65536 AS p2,
+        |    CAST('0x' || substring(md5(gram), 9, 4) AS INTEGER) % 65536 AS p3
+        |  FROM x),
+        |bits AS (
+        |  SELECT DISTINCT p FROM (
+        |    SELECT unnest([p1, p2, p3]) AS p FROM p WHERE doc_id % 97 = 3)),
+        |hits AS (
+        |  SELECT doc_id, n_grams, count(*) AS n_flagged
+        |  FROM p c
+        |  WHERE doc_id % 97 <> 3
+        |    AND EXISTS (SELECT 1 FROM bits b WHERE b.p = c.p1)
+        |    AND EXISTS (SELECT 1 FROM bits b WHERE b.p = c.p2)
+        |    AND EXISTS (SELECT 1 FROM bits b WHERE b.p = c.p3)
+        |  GROUP BY doc_id, n_grams)
+        |SELECT doc_id, n_grams, n_flagged,
+        |  CAST(n_flagged AS DOUBLE) / CAST(n_grams AS DOUBLE) AS flagged_frac
+        |FROM hits""".stripMargin,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)
@@ -1690,6 +1762,7 @@ object SparkEntry {
     "kg15_pagerank" -> pagerankSql(iters = 10),
     "kg16_bfs" -> bfsSql(hops = 3),
     "kg25_sssp" -> ssspSql(rounds = 3),
+    "kg26_communities" -> lpaSql(rounds = 4),
     // kg19: snapshot consolidation replayed from the materialized
     // (url, warc_ts, digest) frame — arg-min/max digests decide `changed`
     // (fetch times are unique per url by construction, so min_by/max_by

@@ -232,6 +232,48 @@ object GraphOps {
       dist
     }
 
+  /** Synchronous weighted label propagation (Raghavan et al. 2007, made
+    * deterministic): every node starts as its own label; each round every
+    * node adopts the label with the greatest total incident edge weight
+    * among its neighbors, ties broken by the SMALLEST label — so with a
+    * fixed round count the result is a pure function of the edge set,
+    * partition-invariant, and bit-replayable by a SQL engine unrolling the
+    * same rounds (the kg26 DuckDB oracle; free-running asynchronous LPA is
+    * famously run-order-dependent and could never sit under a hash gate).
+    * Weights are exact integers, so the per-label vote sums are too.
+    *
+    * Scale shape = [[pageRankInt]]'s: the (deduped, persisted) edge frame
+    * is re-joined per round, each round is one shuffle join + two
+    * partial-aggregated groupBys on (id, label) scalars, and the label
+    * frame is materialized per round so plans never compound. The argmax
+    * is `min(struct(-votes, label))` — a bounded aggregate, never a
+    * per-node window sort. Vote-less nodes (none in a symmetric graph)
+    * keep their label, mirrored by the oracle's LEFT JOIN + coalesce.
+    *
+    * Input: symmetric weighted edges (src, dst, w). Output: (id, community).
+    */
+  def labelPropagation(edges0: DataFrame, rounds: Int,
+                       checkpointDir: Option[String] = None): DataFrame =
+    graft.tables.Checkpoints.withDir(edges0.sparkSession, checkpointDir) { materialize =>
+      val edges = edges0.select("src", "dst", "w").distinct().persist()
+      edges.count()
+      val nodes = edges.select(col("src").as("id")).distinct()
+      var lab = materialize(nodes.withColumn("label", col("id")))
+      for (_ <- 1 to rounds) {
+        val votes = edges
+          .join(lab.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(sum(col("w")).as("sw"))
+        val winners = votes.groupBy("id")
+          .agg(min(struct((-col("sw")).as("nw"), col("label").as("l"))).as("b"))
+          .select(col("id"), col("b").getField("l").as("win"))
+        lab = materialize(lab.join(winners, Seq("id"), "left")
+          .select(col("id"), coalesce(col("win"), col("label")).as("label")))
+      }
+      edges.unpersist()
+      lab.select(col("id"), col("label").as("community"))
+    }
+
   /** Triangle enumeration with degree-ordered orientation (compact-forward):
     * every undirected edge is oriented from its (degree, id)-smaller
     * endpoint to the larger, which turns the edge set into a DAG where each

@@ -545,6 +545,22 @@ object KgQueries {
     GraphOps.ssspBounded(edges, seeds, rounds = 3)
   }
 
+  /** kg26: community detection over the entity co-occurrence graph —
+    * deterministic synchronous weighted label propagation
+    * ([[GraphOps.labelPropagation]]), four rounds, edge weight = number of
+    * shared pages. The "which entities form topical clusters" read a KG
+    * serves (topic pages, related-entity grouping) and the third member of
+    * the iterative-graph family after kg15 PageRank and kg16/kg25
+    * traversals. The DuckDB oracle unrolls the same four vote rounds as
+    * chained CTEs from the materialized edge frame — exact integer vote
+    * sums and a total (votes desc, label asc) order make the replay
+    * hash-exact.
+    */
+  def communities(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = hubGraph(spark, dir, "kg26_edges", cost = Some(col("w")))
+    GraphOps.labelPropagation(edges.withColumnRenamed("cost", "w"), rounds = 4)
+  }
+
   /** (qid, pid, value, ts) observations of EVERY claim on a pages frame —
     * the kg24 input: the all-properties generalization of
     * [[scdObservations]] (which tracks the single P1082 fact for SCD-2).

@@ -179,6 +179,52 @@ object Sketches {
     out
   }
 
+  /** Bloom-filter bitset as a typed OR-merge aggregate: the buffer is a
+    * FIXED-SIZE array of `mBits/64` longs whatever the input cardinality —
+    * the membership companion to [[KmvAgg]] (distinct counts) and the CMS
+    * counters (frequencies). OR is commutative/associative/idempotent, so
+    * partials build map-side, the shuffle moves exactly mBits/8 bytes per
+    * group, and the result is order- and partition-invariant. Because the
+    * set positions are plain md5-nibble arithmetic (not opaque library
+    * state), another engine computes the IDENTICAL bit positions and the
+    * filter's false positives are deterministic — which is what lets the
+    * d22 gate hash-match a DuckDB replay bit for bit.
+    *
+    * Input rows are small position arrays (the k hash positions of one
+    * element); positions out of range fail loudly rather than aliasing.
+    */
+  final class BloomOrAgg(mBits: Int)
+      extends Aggregator[Array[Int], Array[Long], Array[Long]] {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    private val words = mBits / 64
+    override def zero: Array[Long] = new Array[Long](words)
+
+    override def reduce(buf: Array[Long], ps: Array[Int]): Array[Long] = {
+      var i = 0
+      while (i < ps.length) {
+        val p = ps(i)
+        if (p < 0 || p >= mBits)
+          throw new IllegalArgumentException(
+            s"BloomOrAgg: position $p out of [0, $mBits)")
+        buf(p >>> 6) |= 1L << (p & 63)
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < words) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Count-Min bucket for hash row `r`: first 32 md5 bits of "r_token" mod
     * width — the dd-family signature recipe, replayed by the d9 oracle as
     * `CAST('0x'||substring(md5(r||'_'||t),1,8) AS BIGINT) % w`.

@@ -443,6 +443,72 @@ object TextAnalysis {
         concat_ws(" ", col("_kept")).as("cleaned_text"))
   }
 
+  /** d22: Bloom-filter eval-set decontamination — the documented scale
+    * degradation of [[d12Frame]] ("if the eval set ever outgrows the
+    * broadcast budget the same plan degrades to a bloom-filter
+    * pre-filter"), built as its own gated operator: the eval grams fold
+    * into a FIXED-SIZE bitset (a [[Sketches.BloomOrAgg]] OR-merge — mBits/8
+    * bytes however many grams the benchmark suite holds), and every
+    * training document reports how many of its distinct n-grams the filter
+    * claims. Flags are a deterministic superset of d12's true overlaps
+    * (spec-pinned): false positives exist but are pure md5 arithmetic, so
+    * the DuckDB oracle reproduces the SAME flags bit for bit — the reason
+    * this uses nibble-sliced md5 positions rather than an opaque bloom
+    * library.
+    *
+    * 100 TB shape: the build side aggregates map-side to one mBits/8-byte
+    * row; the probe side never shuffles text or grams — the bitset rides a
+    * 1-row broadcast onto the scan (the KeywordSearch N-broadcast trick)
+    * and the three bit tests are codegen'd array/shift expressions. The
+    * only wide exchange is the final per-doc count partial-agg.
+    */
+  def d22BloomDecontaminate(spark: SparkSession, dir: String, n: Int = 3,
+                            mBits: Int = 65536): DataFrame =
+    d22Frame(docs(spark, dir), n, mBits)
+
+  /** [[d22BloomDecontaminate]] over any (doc_id, text) frame. */
+  def d22Frame(documents: DataFrame, n: Int, mBits: Int): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), wordsCol(col("text")).as("w"))
+      .select(col("doc_id"), array_distinct(gramsCol(col("w"), n)).as("grams"))
+    // k=3 positions = three independent 16-bit nibble slices of one md5,
+    // reduced mod mBits — no multiply that could overflow an engine that
+    // errors on BIGINT wrap (DuckDB), no seed plumbing
+    val hx = md5(col("gram").cast("binary"))
+    def pos(i: Int): Column =
+      pmod(conv(substring(hx, 1 + 4 * i, 4), 16, 10).cast("int"), lit(mBits))
+    val withPos = grams
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode_outer(col("grams")).as("gram")) // outer: the d12 lesson
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("n_grams"),
+        array(pos(0), pos(1), pos(2)).as("ps"))
+      .persist() // feeds the build AND probe subtrees
+    val out = d22Plan(withPos, mBits).localCheckpoint(true)
+    withPos.unpersist()
+    out
+  }
+
+  /** The build/probe plan over a (pre-persisted) (doc_id, n_grams, ps)
+    * position frame — the seam the plan-shape spec inspects.
+    */
+  def d22Plan(withPos: DataFrame, mBits: Int): DataFrame = {
+    val isEval = col("doc_id") % 97 === 3
+    val bloom = udaf(new Sketches.BloomOrAgg(mBits))
+    val bits = withPos.filter(isEval).agg(bloom(col("ps")).as("bits"))
+    def hit(i: Int): Column = expr(
+      s"(shiftright(element_at(bits, cast(element_at(ps, ${i + 1}) div 64 as int) + 1), " +
+        s"cast(element_at(ps, ${i + 1}) % 64 as int)) & 1) = 1")
+    withPos.filter(!isEval)
+      .crossJoin(broadcast(bits)) // 1-row bitset: broadcast, never a shuffle
+      .filter(hit(0) && hit(1) && hit(2))
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_flagged"))
+      .select(col("doc_id"), col("n_grams"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_grams").cast("double"))
+          .as("flagged_frac"))
+  }
+
   /** d20: winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
     * window over `w` consecutive gram hashes, and select each window's

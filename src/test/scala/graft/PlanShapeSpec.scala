@@ -348,6 +348,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(1500))
   }
 
+  test("d22: bitset rides a 1-row broadcast; probe side never sort-merge joins") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pos = Seq((3L, 2, Array(1, 2, 3)), (1L, 2, Array(1, 2, 3)))
+      .toDF("doc_id", "n_grams", "ps")
+    val p = graft.operators.TextAnalysis.d22Plan(pos, mBits = 256)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the only join is the 1-row bitset rendezvous: a broadcast nested-loop
+    // over a single-row inner side (the KeywordSearch N-broadcast shape) —
+    // NOT a shuffle of the probe grams
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(1500))
+  }
+
   test("d18: df rollup has no count-distinct Expand; join back is an equi-join on the hash") {
     // pin the d18Plan seam over a tiny pre-hashed position frame
     val spark2 = spark

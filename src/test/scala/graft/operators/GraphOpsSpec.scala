@@ -268,4 +268,40 @@ class GraphOpsSpec extends AnyFunSuite {
         .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("label propagation: two dense clusters split along the weak bridge; invariant to partitioning") {
+    // two all-pairs-weight-10 triangles joined by one weight-1 bridge c-d;
+    // intra-cluster votes (20) swamp the bridge (1), so four rounds settle
+    // on one label per cluster — the min id of each
+    val und = Seq(
+      ("a", "b", 10L), ("a", "c", 10L), ("b", "c", 10L),
+      ("d", "e", 10L), ("d", "f", 10L), ("e", "f", 10L),
+      ("c", "d", 1L))
+    val sym = (und ++ und.map { case (s, d, w) => (d, s, w) })
+      .toDF("src", "dst", "w")
+    val want = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "d")
+    for (parts <- Seq(1, 7)) {
+      val got = GraphOps.labelPropagation(sym.repartition(parts), rounds = 4)
+        .as[(String, String)].collect().toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("label propagation: heavier neighbor label wins over smaller label; isolated-pair keeps its labels") {
+    // y's neighbors after round 1: x (label x, w 5) vs z (label z, w 2) —
+    // weight must beat the lexicographic tie-break
+    val und = Seq(("x", "y", 5L), ("y", "z", 2L), ("p", "q", 3L))
+    val sym = (und ++ und.map { case (s, d, w) => (d, s, w) })
+      .toDF("src", "dst", "w")
+    val got = GraphOps.labelPropagation(sym, rounds = 2)
+      .as[(String, String)].collect().toMap
+    // an isolated dominant pair is synchronous LPA's classic 2-cycle: swap,
+    // then swap back — after an EVEN round count both sit on self-labels
+    assert(got("p") == "p" && got("q") == "q")
+    // z: round 1 takes y's label (its only neighbor), round 2 takes y's
+    // ROUND-1 label, which x's 5-weight vote set to x — weight beat the
+    // lexicographic tie-break (z's own z < x would win a pure-label tie)
+    assert(got("z") == "x")
+  }
 }

@@ -136,4 +136,25 @@ class SketchesSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().sortBy(_._1)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("bloom OR-bitset: exactly the planted bits, invariant to partitioning; out-of-range fails loudly") {
+    val mBits = 256
+    val rnd = new scala.util.Random(20260818L)
+    val rows = (1 to 400).map(_ =>
+      Array.fill(3)(rnd.nextInt(mBits))) // heavy duplication across rows
+    val wantBits = rows.flatten.toSet
+    val bloom = udaf(new Sketches.BloomOrAgg(mBits))
+    for (parts <- Seq(1, 8)) {
+      val words = rows.toDF("ps").repartition(parts)
+        .agg(bloom(col("ps"))).as[Seq[Long]].head()
+      assert(words.length == mBits / 64)
+      val gotBits = (0 until mBits).filter(p =>
+        ((words(p >>> 6) >>> (p & 63)) & 1L) == 1L).toSet
+      assert(gotBits == wantBits, s"parts=$parts")
+    }
+    val err = intercept[org.apache.spark.SparkException] {
+      Seq(Array(mBits)).toDF("ps").agg(bloom(col("ps"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }

@@ -159,6 +159,32 @@ class TextQualitySpec extends AnyFunSuite {
     assert(got(5L) == ((0L, 0L, "")))
   }
 
+  test("d22 bloom flags every d12 true overlap; clean doc passes; frac exact") {
+    // doc 3 is eval (3 % 97 == 3); doc 1 shares a trigram with it; doc 2 is
+    // clean vocabulary (its gram positions missing the tiny planted bitset)
+    val docs = Seq(
+      (3L, "alpha beta gamma delta"),
+      (1L, "x alpha beta gamma y"),
+      (2L, "p q r s t")).toDF("doc_id", "text")
+    val bloomed = TextAnalysis.d22Frame(docs, n = 3, mBits = 65536)
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(bloomed.keySet == Set(1L))
+    assert(bloomed(1L) == ((1L, 3, 1L, 1.0 / 3.0)))
+    // superset property: the bloom never misses a true overlap (bitwise OR
+    // of real positions can only ADD members) — every d12-contaminated doc
+    // must appear among the bloom flags, on a larger mixed corpus
+    val rnd = new scala.util.Random(20260818L)
+    val corpus = (0L until 300L).map { i =>
+      val words = (0 until 12).map(_ => s"w${rnd.nextInt(40)}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = TextAnalysis.d12Frame(corpus, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = TextAnalysis.d22Frame(corpus, n = 3, mBits = 65536)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(bloom), s"missed: ${exact -- bloom}")
+  }
+
   test("d19 dsir: target-like docs outweigh off-target docs; empty docs unselected") {
     // target = lang 'en'; en-vocab and de-vocab are disjoint, so a raw 'xx'
     // doc written in en-vocab must outweigh a raw 'xx' doc in de-vocab
