@@ -245,6 +245,9 @@ object SparkEntry {
     // propagation, four unrolled vote rounds, bounded argmax aggregate
     // (min(struct)) — never a per-node window sort
     "kg26_communities" -> (KgQueries.communities _),
+    // bounded k-core peeling: per round two survivor semi-joins + one
+    // degree count — ids and one long on the wire, never adjacency lists
+    "kg27_kcore" -> (KgQueries.kcore _),
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
@@ -513,6 +516,36 @@ object SparkEntry {
        |l0 AS (SELECT id, id AS label FROM nodes),
        |$steps
        |SELECT id, label AS community FROM l$rounds""".stripMargin
+  }
+
+  /** kg27 oracle: k-core peeling with each synchronous peel round UNROLLED
+    * as chained CTEs (degree among survivors → keep deg ≥ k) over the
+    * materialized edge frame, plus a final within-core degree — integer
+    * survivor sets, hash-exact replay of
+    * [[graft.operators.GraphOps.kcoreBounded]] (whose early stop fires only
+    * when a round changes nothing, which cannot diverge from the fixed
+    * unroll).
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { h =>
+      s"""d$h AS (
+         |  SELECT e.src AS id, count(*) AS deg FROM e
+         |  JOIN n${h - 1} a ON a.id = e.src
+         |  JOIN n${h - 1} b ON b.id = e.dst
+         |  GROUP BY e.src),
+         |n$h AS (SELECT id FROM d$h WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT src, dst FROM read_parquet('$OF/kg27_edges/*.parquet')),
+       |n0 AS (SELECT DISTINCT src AS id FROM e),
+       |$steps,
+       |dfin AS (
+       |  SELECT e.src AS id, count(*) AS deg FROM e
+       |  JOIN n$rounds a ON a.id = e.src
+       |  JOIN n$rounds b ON b.id = e.dst
+       |  GROUP BY e.src)
+       |SELECT n.id, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg
+       |FROM n$rounds n LEFT JOIN dfin d USING (id)""".stripMargin
   }
 
   /** Shared retrieval CTE for the em* oracles — mirrors Eval.retrieve:
@@ -1763,6 +1796,7 @@ object SparkEntry {
     "kg16_bfs" -> bfsSql(hops = 3),
     "kg25_sssp" -> ssspSql(rounds = 3),
     "kg26_communities" -> lpaSql(rounds = 4),
+    "kg27_kcore" -> kcoreSql(k = 3, rounds = 3),
     // kg19: snapshot consolidation replayed from the materialized
     // (url, warc_ts, digest) frame — arg-min/max digests decide `changed`
     // (fetch times are unique per url by construction, so min_by/max_by

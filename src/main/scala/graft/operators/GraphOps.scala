@@ -232,6 +232,58 @@ object GraphOps {
       dist
     }
 
+  /** Bounded-round k-core peeling (Matula & Beck 1983's algorithm with a
+    * fixed round budget): each round SYNCHRONOUSLY removes every node whose
+    * degree within the current surviving subgraph is below `k`; after
+    * `rounds` rounds the survivors are a superset of the true k-core that
+    * shrinks monotonically toward it (equal once a round removes nothing).
+    * Synchronous peeling with a fixed budget is a pure function of the edge
+    * set — partition-invariant and replayable by a SQL engine unrolling the
+    * same rounds (the kg27 DuckDB oracle) — where run-to-fixpoint would
+    * have a data-dependent round count the oracle could not mirror
+    * verbatim; the same bounded-round choice as [[bfsDistances]] and
+    * [[ssspBounded]].
+    *
+    * Scale shape: the (deduped, persisted) edge frame is re-joined per
+    * round; a round is two semi-joins of edges against the survivor set
+    * plus one partial-aggregated degree count — ids and one long cross the
+    * shuffle, never adjacency lists. The survivor frame is materialized per
+    * round so plans never compound. Stops early when a round peels nothing
+    * (cannot change the result).
+    *
+    * Input: symmetric edges (src, dst). Output: (id, deg) for surviving
+    * nodes, deg = degree within the surviving core (0 if every neighbor
+    * was peeled in the final round).
+    */
+  def kcoreBounded(edges0: DataFrame, k: Int, rounds: Int,
+                   checkpointDir: Option[String] = None): DataFrame =
+    graft.tables.Checkpoints.withDir(edges0.sparkSession, checkpointDir) { materialize =>
+      require(k >= 1, s"k must be >= 1, got $k")
+      val edges = edges0.select("src", "dst").distinct().persist()
+      edges.count()
+      def survivorDegrees(nodes: DataFrame): DataFrame = edges
+        .join(nodes.withColumnRenamed("id", "src"), Seq("src"), "leftsemi")
+        .join(nodes.withColumnRenamed("id", "dst"), Seq("dst"), "leftsemi")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      var nodes = materialize(edges.select(col("src").as("id")).distinct())
+      var nNodes = nodes.count()
+      var live = true
+      var round = 1
+      while (live && round <= rounds) {
+        nodes = materialize(
+          survivorDegrees(nodes).filter(col("deg") >= k).select("id"))
+        val n2 = nodes.count()
+        live = n2 != nNodes
+        nNodes = n2
+        round += 1
+      }
+      val out = materialize(nodes
+        .join(survivorDegrees(nodes), Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")))
+      edges.unpersist()
+      out
+    }
+
   /** Synchronous weighted label propagation (Raghavan et al. 2007, made
     * deterministic): every node starts as its own label; each round every
     * node adopts the label with the greatest total incident edge weight

@@ -561,6 +561,19 @@ object KgQueries {
     GraphOps.labelPropagation(edges.withColumnRenamed("cost", "w"), rounds = 4)
   }
 
+  /** kg27: bounded k-core peeling over the entity co-occurrence graph —
+    * "which entities sit in the densely-interlinked heart of the corpus"
+    * (the density complement of kg14's triangle census; hubs by PageRank,
+    * cores by peeling). Three synchronous peel rounds at k = 3
+    * ([[GraphOps.kcoreBounded]]); the DuckDB oracle unrolls the same
+    * rounds as chained CTEs over the materialized edge frame — survivor
+    * sets and integer degrees are exact, so the replay hash-matches.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = hubGraph(spark, dir, "kg27_edges", cost = None)
+    GraphOps.kcoreBounded(edges, k = 3, rounds = 3)
+  }
+
   /** (qid, pid, value, ts) observations of EVERY claim on a pages frame —
     * the kg24 input: the all-properties generalization of
     * [[scdObservations]] (which tracks the single P1082 fact for SCD-2).

@@ -269,6 +269,32 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded k-core peeling == driver-side synchronous replay on seeded random graphs") {
+    val rnd = new scala.util.Random(20260818L)
+    (0 until 3).foreach { round =>
+      val n = 20
+      val ids = (0 until n).map(i => f"Q$i%03d")
+      val und = (for {
+        i <- 0 until n; j <- i + 1 until n if rnd.nextDouble() < 0.2
+      } yield (ids(i), ids(j))).toSet
+      val sym = und.flatMap(e => Seq(e, e.swap))
+      def degrees(surv: Set[String]): Map[String, Int] =
+        sym.toSeq.filter(e => surv(e._1) && surv(e._2))
+          .groupBy(_._1).view.mapValues(_.size).toMap
+      var surv = sym.map(_._1)
+      for (_ <- 1 to 3) { // three SYNCHRONOUS peels at k=3
+        val deg = degrees(surv)
+        surv = surv.filter(v => deg.getOrElse(v, 0) >= 3)
+      }
+      val finalDeg = degrees(surv)
+      val want = surv.map(v => v -> finalDeg.getOrElse(v, 0).toLong).toMap
+      val got = GraphOps.kcoreBounded(
+        sym.toSeq.toDF("src", "dst"), k = 3, rounds = 3)
+        .as[(String, Long)].collect().toMap
+      assert(got == want, s"round=$round")
+    }
+  }
+
   test("label propagation: two dense clusters split along the weak bridge; invariant to partitioning") {
     // two all-pairs-weight-10 triangles joined by one weight-1 bridge c-d;
     // intra-cluster votes (20) swamp the bridge (1), so four rounds settle
