@@ -99,6 +99,10 @@ object SparkEntry {
     // its own gate): eval grams fold to ONE fixed-size OR-merged bitset
     // that rides a 1-row broadcast; probe grams never shuffle
     "d22_bloom_decontaminate" -> ((s, d) => T.d22BloomDecontaminate(s, d)),
+    // BPE merge candidates (tokenizer-training inner statistic): bounded
+    // pair space → map-side partials; top-k via TakeOrderedAndProject
+    // (bounded heap), never a global sort
+    "d23_bpe_pairs" -> ((s, d) => T.d23BpePairs(s, d)),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -1136,6 +1140,22 @@ object SparkEntry {
         |SELECT doc_id, n_grams, n_flagged,
         |  CAST(n_flagged AS DOUBLE) / CAST(n_grams AS DOUBLE) AS flagged_frac
         |FROM hits""".stripMargin,
+    // d23: adjacent-char-pair counts replayed with DuckDB slicing; the
+    // length guard is implicit there (range(1,1) is empty where Spark's
+    // sequence(1,0) would descend)
+    "d23_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |wd AS (SELECT unnest(w) AS word FROM t),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(word)),
+        |    i -> word[i:i+1])) AS pair
+        |  FROM wd),
+        |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+        |SELECT pair, n FROM c ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)

@@ -509,6 +509,40 @@ object TextAnalysis {
           .as("flagged_frac"))
   }
 
+  /** d23: BPE merge candidates — the first iteration of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): count every adjacent
+    * character pair inside every word occurrence across the corpus and
+    * return the top-k merge candidates by frequency (ties by pair — a
+    * total order, so the cut is deterministic). Training a tokenizer is
+    * the canonical corpus-wide pre-training job after dedup/filtering;
+    * this is its inner statistic as a gated operator.
+    *
+    * 100 TB shape: the pair space is bounded by |alphabet|², so the
+    * groupBy's map-side partial aggregation collapses each partition to at
+    * most a few thousand (pair, count) rows before the shuffle no matter
+    * how many words enter; the top-k is `orderBy.limit` = Spark's
+    * TakeOrderedAndProject — a bounded per-partition heap + driver merge,
+    * never a global sort (plan-pinned).
+    */
+  def d23BpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    d23Frame(docs(spark, dir), k)
+
+  /** [[d23BpePairs]] over any (doc_id, text) frame. */
+  def d23Frame(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(explode_outer(wordsCol(col("text"))).as("word"))
+      // length-1 words carry no pair; the guard also keeps Spark's
+      // sequence() ascending (sequence(1, 0) would DESCEND, unlike the
+      // oracle's empty range(1, 1))
+      .filter(col("word").isNotNull && length(col("word")) >= 2)
+      .select(explode_outer(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .filter(col("pair").isNotNull)
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+
   /** d20: winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
     * window over `w` consecutive gram hashes, and select each window's

@@ -365,6 +365,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(1500))
   }
 
+  test("d23: one pair-count Exchange; top-k is a bounded TakeOrderedAndProject, no global Sort") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "abab ab"), (2L, "x yz")).toDF("doc_id", "text")
+    val p = graft.operators.TextAnalysis.d23Frame(docs, k = 20)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("(Sort ") && !"""\(\d+\) Sort\b""".r.findAllIn(p).hasNext,
+      "top-k must not globally sort:\n" + p.take(1500))
+  }
+
   test("d18: df rollup has no count-distinct Expand; join back is an equi-join on the hash") {
     // pin the d18Plan seam over a tiny pre-hashed position frame
     val spark2 = spark

@@ -185,6 +185,19 @@ class TextQualitySpec extends AnyFunSuite {
     assert(exact.subsetOf(bloom), s"missed: ${exact -- bloom}")
   }
 
+  test("d23 bpe pairs: counts weighted by occurrence; len-1 words skipped; tie cut by pair order") {
+    val docs = Seq(
+      (1L, "abab ab"), // abab -> ab, ba, ab; ab -> ab  => ab:3, ba:1
+      (2L, "x yz"),    // x: no pair; yz -> yz:1
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.d23Frame(docs, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L), ("ba", 1L))) // 1-tie: ba < yz
+    val all = TextAnalysis.d23Frame(docs, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(all == Seq(("ab", 3L), ("ba", 1L), ("yz", 1L)))
+  }
+
   test("d19 dsir: target-like docs outweigh off-target docs; empty docs unselected") {
     // target = lang 'en'; en-vocab and de-vocab are disjoint, so a raw 'xx'
     // doc written in en-vocab must outweigh a raw 'xx' doc in de-vocab
