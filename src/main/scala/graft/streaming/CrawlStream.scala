@@ -112,6 +112,46 @@ object CrawlStream {
       }.toDF()
   }
 
+  final case class FrontierUrl(doc_id: Long, host: String, path: String)
+  final case class HostSlotState(nextSlot: Long)
+  final case class SlotRow(doc_id: Long, host: String, path: String,
+                           slot: Long, fetch_at_ms: Long)
+
+  /** w6 as a stream: the per-host politeness timetable maintained
+    * incrementally — a live crawl scheduler assigns fetch slots to urls AS
+    * THEY ARRIVE instead of re-ranking the whole frontier per batch.
+    * GroupState per host is ONE long (the next free slot), so state is
+    * bounded by host count however long the crawl runs; each microbatch's
+    * arrivals for a host are sorted (path, doc_id) — the batch timetable's
+    * order — and appended at the host's tail, keeping per-host fetch times
+    * gapless, monotone and `delayMs` apart across batch boundaries. When
+    * per-host arrival order matches the batch sort order the emissions are
+    * byte-identical to [[graft.operators.UrlOps.w6Frame]] (spec-pinned);
+    * under out-of-order arrival the slots differ (a scheduler cannot
+    * reorder the past) but every politeness invariant still holds. Input:
+    * a streaming w5-verdict frame (doc_id, host, path, blocked); blocked
+    * urls never receive a slot, as in the batch form.
+    */
+  def frontierStream(verdicts: DataFrame, delayMs: Long): DataFrame = {
+    val spark = verdicts.sparkSession
+    import spark.implicits._
+    val ds = verdicts.filter(!col("blocked"))
+      .select(col("doc_id"), col("host"), col("path")).as[FrontierUrl]
+    ds.groupByKey(_.host)
+      .flatMapGroupsWithState[HostSlotState, SlotRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host, it, state) =>
+          val start = state.getOption.map(_.nextSlot).getOrElse(1L)
+          val rows = it.toSeq.sortBy(r => (r.path, r.doc_id)).zipWithIndex
+            .map { case (r, i) =>
+              SlotRow(r.doc_id, host, r.path, start + i,
+                (start + i - 1) * delayMs)
+            }
+          state.update(HostSlotState(start + rows.size))
+          rows.iterator
+      }.toDF()
+  }
+
   final case class FactObs(qid: String, pid: String, value: String, ts_ms: Long)
   final case class DiffState(firstTs: Long, first: List[(String, String)],
                              latestTs: Long, latest: List[(String, String)],

@@ -100,6 +100,41 @@ class CrawlStreamSpec extends AnyFunSuite {
     assert(twoObsOneInterval, "expected an extended-in-place open interval")
   }
 
+  private def runAppend(out: DataFrame, name: String): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("frontierStream == batch w6 timetable under in-order arrival; host slot counter crosses batches") {
+    val verdicts = Seq(
+      (1L, "a.com", "/p1", false), (2L, "a.com", "/p2", false),
+      (3L, "a.com", "/p3", false), (4L, "a.com", "/p4", false),
+      (5L, "b.com", "/x", false), (6L, "b.com", "/y", false),
+      (7L, "b.com", "/z", true) // blocked: never receives a slot
+    ).toDF("doc_id", "host", "path", "blocked")
+    val want = graft.operators.UrlOps.w6Frame(verdicts, delayMs = 1000L)
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    assert(want.nonEmpty && !want.exists(_._1 == 7L))
+    // split so each host's ARRIVAL order preserves the (path, doc_id)
+    // sort: batch 1 = each host's first two slots (+ the blocked url),
+    // batch 2 = the tail — a.com's docs 3/4 must then continue at slots
+    // 3/4 from the carried GroupState, not restart at 1
+    val b1Ids = graft.operators.UrlOps.w6Frame(verdicts, 1000L)
+      .filter(col("slot") <= 2).select("doc_id").as[Long].collect().toSet
+    val b1 = verdicts.filter(
+      col("doc_id").isin(b1Ids.toSeq: _*) || col("blocked"))
+    val b2 = verdicts.filter(
+      !col("doc_id").isin(b1Ids.toSeq: _*) && !col("blocked"))
+    val dir = streamDir("frontier", Seq(b1, b2))
+    val stream = spark.readStream.schema(verdicts.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runAppend(CrawlStream.frontierStream(stream, 1000L), "frontier_stream")
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("diffStream over two crawl drops == batch tripleDiff; base set carries across batches") {
     val obs1 = KgQueries.claimObservations(spark, PagesGen.pages(spark, n))
     val obs2 = KgQueries.claimObservations(spark, PagesGen.pagesDelta(spark, n))
