@@ -148,6 +148,9 @@ object SparkEntry {
     // blocking-quality audit: pair completeness / reduction ratio / pairs
     // quality of the s4 LSH blocking vs the s3 exact truth
     "s7_blocking_quality" -> ((s, d) => Similarity.blockingQuality(s, d, threshold = 0.3)),
+    // product-quantization ANN: integer-quantized codebook + ADC search over
+    // codes only — the compressed-corpus scale path, bit-replayable in SQL
+    "s8_ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
     // retrieval eval
     "em1_retrieval_metrics" -> ((s, d) => Eval.metrics(s, d)),
     "em2_rerank" -> ((s, d) => Eval.rerank(s, d)),
@@ -1476,6 +1479,44 @@ object SparkEntry {
          |  FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id != p.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    // s8: PQ — the trained integer codebook is the materialized kernel; the
+    // oracle replays quantize → per-subspace encode (argmin integer L2²,
+    // ties to the lower code) → ADC (the query's distance rows ARE the
+    // lookup table) → top-K, all in exact bigint arithmetic
+    "s8_ann_pq" ->
+      s"""WITH cb AS (
+         |  SELECT sub, code, qvec FROM read_parquet('$OF/s8_codebook/*.parquet')),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |sub_e AS (
+         |  SELECT vec_id, s.sub AS sub,
+         |    unnest(list_slice(q, s.sub*8+1, s.sub*8+8)) AS x,
+         |    unnest(range(1, 9)) AS i
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+         |cb_e AS (
+         |  SELECT sub, code, unnest(qvec) AS y, unnest(range(1, 9)) AS i FROM cb),
+         |d AS (
+         |  SELECT se.vec_id, se.sub, c.code,
+         |    CAST(SUM((se.x - c.y)*(se.x - c.y)) AS BIGINT) AS d
+         |  FROM sub_e se JOIN cb_e c ON se.sub = c.sub AND se.i = c.i
+         |  GROUP BY 1, 2, 3),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS r
+         |    FROM d) t WHERE r = 1),
+         |adc AS (
+         |  SELECT qd.vec_id AS query_id, en.vec_id AS neighbor_id,
+         |    CAST(SUM(qd.d) AS BIGINT) AS ad
+         |  FROM enc en JOIN d qd ON qd.sub = en.sub AND qd.code = en.code
+         |  WHERE qd.vec_id < 10 AND en.vec_id != qd.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ad ASC, neighbor_id ASC) AS rank FROM adc)
          |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
     "em1_retrieval_metrics" ->
       s"""${retrievalCte()},

@@ -255,6 +255,138 @@ object Similarity {
     ivfSearch(e, cents, nQueries, k, nProbe)
   }
 
+  // ── s8: product quantization ──────────────────────────────────────────
+
+  /** Fixed-point embedding quantization for the PQ family: x → ⌊x·4096 + ½⌋
+    * as bigint. Every step (float→double widen, ×2^12, +0.5, floor) is exact
+    * or identically rounded in Spark and DuckDB, so BOTH engines reach the
+    * SAME integers and all downstream PQ arithmetic (integer L2², integer
+    * ADC sums) is bit-replayable — the exact-integer-PageRank trick applied
+    * to vector search. 12 fractional bits keep sub-distance sums ≪ 2^63.
+    */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(4096.0) + lit(0.5)).cast("long"))
+
+  /** Integer L2² between a bigint-array column and a LITERAL centroid —
+    * codegen'd `aggregate(zip_with(...))`, exact and order-independent.
+    */
+  private def l2sqLit(sv: Column, cent: Array[Long]): Column =
+    aggregate(zip_with(sv, array(cent.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Per-subspace Lloyd codebooks for product quantization, trained entirely
+    * in the quantized integer space so training is deterministic without the
+    * decimal-sum machinery: init = the first `ksub` vectors' subvectors (the
+    * s5 rule), a fixed number of iterations, integer-L2 assignment with ties
+    * to the lower code, half-up integer means (exact, order-independent long
+    * sums), empty cells keep their previous centroid.
+    *
+    * Scale shape mirrors [[trainedCentroids]]: assignment is a narrow map
+    * against the broadcast codebook; the mean is one groupBy over
+    * (sub, code, dim) SCALARS per iteration; only m·ksub·dsub aggregated
+    * longs ever reach the driver. Returns (sub:int, code:int,
+    * qvec:array<bigint>).
+    */
+  def pqCodebook(e0: DataFrame, m: Int, dsub: Int, ksub: Int, iters: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val qe = e0.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].persist()
+    val seed = qe.filter(_._1 < ksub).collect().sortBy(_._1).map(_._2.toArray)
+    if (seed.isEmpty) {
+      qe.unpersist()
+      return Seq.empty[(Int, Int, Seq[Long])].toDF("sub", "code", "qvec")
+    }
+    var cents: Array[Array[Array[Long]]] = Array.tabulate(m, ksub) { (s, c) =>
+      seed(c % seed.length).slice(s * dsub, (s + 1) * dsub)
+    }
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = qe.flatMap { case (_, v) =>
+        (0 until m).map { s =>
+          val sv = v.slice(s * dsub, (s + 1) * dsub).toArray
+          var best = 0; var bestD = Long.MaxValue; var c = 0
+          while (c < ksub) {
+            var d = 0L; var i = 0
+            while (i < dsub) { val df = sv(i) - bc.value(s)(c)(i); d += df * df; i += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict: ties keep lower c
+            c += 1
+          }
+          (s, best, sv.toSeq)
+        }
+      }.toDF("sub", "code", "sv")
+      val sums = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("sub", "code", "i")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      sums.foreach { r =>
+        // half-up integer mean ⌊(sx + n/2)/n⌋ — exact, no float in the loop
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          Math.floorDiv(2 * r.getLong(3) + r.getLong(4), 2 * r.getLong(4))
+      }
+      cents = next
+      bc.destroy()
+    }
+    qe.unpersist()
+    (for { s <- 0 until m; c <- 0 until ksub } yield (s, c, cents(s)(c).toSeq))
+      .toDF("sub", "code", "qvec")
+  }
+
+  /** s8: product-quantization ANN — the compressed-corpus scale path. Each
+    * vector is encoded as m codebook codes (here 8 × 4-bit-ish codes for a
+    * 64-dim vector: a 32-byte embedding becomes 8 ints), and search runs
+    * entirely over the codes via asymmetric distance computation (ADC): the
+    * query builds an m×ksub lookup table of integer sub-distances ONCE, and
+    * each candidate costs m array lookups + m integer adds — no decoded
+    * vectors, no float math, no embedding arrays anywhere in the search.
+    *
+    * 100 TB shape: the codebook (m·ksub·dsub longs) is a driver-bounded
+    * literal baked into codegen; encoding is one narrow zero-shuffle pass
+    * over the corpus (the encoded frame is what you'd persist — a ~32×
+    * smaller scan for every later query); queries broadcast with their LUTs
+    * and only (query_id, neighbor_id, rank) scalars survive. Everything is
+    * integer arithmetic on [[quantize]]d coordinates, so the DuckDB oracle
+    * replays encode + ADC bit-exactly from the materialized codebook frame.
+    */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             m: Int = 8, dsub: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val cb = OracleFrames.materialize(
+      pqCodebook(emb(spark, dir), m, dsub, ksub, iters), "s8_codebook")
+    val cbArr: Array[Array[Array[Long]]] = {
+      val a: Array[Array[Array[Long]]] = Array.fill(m, ksub)(null)
+      cb.collect().foreach(r => a(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+      a
+    }
+    def subCol(s: Int) = slice(col("q"), s * dsub + 1, dsub)
+    // in-row encode: m argmins against codebook literals — zero shuffle;
+    // array_position(min) keeps the FIRST minimum, so ties go to the lower
+    // code exactly as in training and in the oracle's (d, code) sort
+    val codesCol = array((0 until m).map { s =>
+      val dists = array((0 until ksub).map(c => l2sqLit(subCol(s), cbArr(s)(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val enc = e.select(col("vec_id"), codesCol.as("codes"))
+    // query-side ADC lookup table: lut[s][c] = L2²(q_sub s, centroid c),
+    // computed once per query on the broadcast side
+    val lutCol = array((0 until m).map { s =>
+      array((0 until ksub).map(c => l2sqLit(subCol(s), cbArr(s)(c))): _*)
+    }: _*)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), lutCol.as("lut"))
+    val ad = aggregate(
+      zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("query_id").orderBy(asc("ad"), asc("neighbor_id"))
+    enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), ad.as("ad"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: every (a, b) with a < b and
     * cosine ≥ threshold. All-pairs by construction — the DuckDB-oracle-exact
     * verification baseline and the right call while one side fits broadcast;

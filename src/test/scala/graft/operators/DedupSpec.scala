@@ -165,6 +165,52 @@ class DedupSpec extends AnyFunSuite {
     assert(c1 == c2 && c1.size == 16)
   }
 
+  test("PQ ANN (s8): pipeline == independent Scala encode+ADC replay; recall vs brute force") {
+    // fixture embeddings are 32-dim: m=4 subspaces of dsub=8
+    val pq = Similarity.pqTopK(spark, withEmbeddings, nQueries = 10, k = 5,
+      m = 4, dsub = 8, ksub = 16, iters = 2)
+    val qe = spark.read.parquet(s"$withEmbeddings/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val cents = Array.fill(4, 16)(Array.empty[Long])
+    Similarity.pqCodebook(
+      spark.read.parquet(s"$withEmbeddings/embeddings.parquet"), 4, 8, 16, 2)
+      .as[(Int, Int, Seq[Long])].collect()
+      .foreach { case (s, c, v) => cents(s)(c) = v.toArray }
+    def l2(a: Seq[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def codes(v: Seq[Long]): Seq[Int] = (0 until 4).map { s =>
+      val sv = v.slice(s * 8, (s + 1) * 8)
+      (0 until 16).minBy(c => (l2(sv, cents(s)(c)), c))
+    }
+    def adc(q: Seq[Long], v: Seq[Long]): Long =
+      (0 until 4).map(s => l2(q.slice(s * 8, (s + 1) * 8), cents(s)(codes(v)(s)))).sum
+    val want = (0L until 10L).flatMap { qid =>
+      qe.keys.filter(_ != qid).toSeq
+        .map(n => (n, adc(qe(qid), qe(n))))
+        .sortBy { case (n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((n, _), i) => (qid, n, i + 1) }
+    }.toSet
+    val got = pq.as[(Long, Long, Int)].collect().toSet
+    assert(got == want, "Spark PQ pipeline must equal the independent replay")
+    // unit-norm fixture vectors: L2 order == cosine order, so brute-force
+    // cosine top-K is the right recall baseline for the quantized search
+    val brute = Similarity.bruteForceTopK(spark, withEmbeddings, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect got.map(t => (t._1, t._2))).size.toDouble / brute.size
+    info(f"PQ recall@5 vs brute force: $recall%.3f")
+    assert(recall >= 0.2, f"PQ recall too low: $recall%.3f")
+  }
+
+  test("PQ codebook is deterministic across input partitionings") {
+    val e = spark.read.parquet(s"$withEmbeddings/embeddings.parquet")
+    val c1 = Similarity.pqCodebook(e.repartition(2), 4, 8, 16, 2)
+      .collect().map(_.toString).sorted.toSeq
+    val c2 = Similarity.pqCodebook(e.repartition(7), 4, 8, 16, 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(c1 == c2 && c1.size == 64)
+  }
+
   test("s7 blocking audit: counts cross-check against the exact and LSH pair sets") {
     spark.catalog.clearCache()
     val dirE = "/root/testdata/sf0.001"
