@@ -255,6 +255,12 @@ object SparkEntry {
     // bounded k-core peeling: per round two survivor semi-joins + one
     // degree count — ids and one long on the wire, never adjacency lists
     "kg27_kcore" -> (KgQueries.kcore _),
+    // change-rate recrawl priority: the scheduling signal from revisit
+    // history — one url-keyed window + one groupBy over digest scalars
+    "kg28_recrawl_priority" -> (KgQueries.recrawlPriority _),
+    // per-predicate property profile: cardinality + kind stats, the
+    // constraint-induction table (functional == max_per_subject = 1)
+    "kg29_property_profile" -> (KgQueries.propertyProfile _),
     // exactly-once projection of an at-least-once event stream (batch form;
     // the streaming twin dropDuplicatesWithinWatermark is spec-pinned equal)
     "st2_stream_dedup" -> ((s, d) =>
@@ -1876,6 +1882,43 @@ object SparkEntry {
          |  count(DISTINCT url) AS n_urls, min(url) AS rep_url
          |FROM read_parquet('$OF/kg23_snapshots/*.parquet')
          |GROUP BY digest HAVING count(*) > 1""".stripMargin,
+    // kg28: recrawl priority replayed from the materialized snapshot
+    // digests — lag window for consecutive-pair changes, then per-url
+    // counts, rate and class (CASE order mirrors the Spark when-chain)
+    "kg28_recrawl_priority" ->
+      s"""WITH st AS (
+         |  SELECT url, digest,
+         |    lag(digest) OVER (PARTITION BY url ORDER BY warc_ts) AS prev
+         |  FROM read_parquet('$OF/kg28_snapshots/*.parquet')),
+         |g AS (
+         |  SELECT url, count(*) AS n_snapshots,
+         |    CAST(SUM(CASE WHEN prev IS NOT NULL AND digest != prev
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+         |  FROM st GROUP BY url)
+         |SELECT url, n_snapshots, n_changes,
+         |  CASE WHEN n_snapshots > 1
+         |       THEN CAST(n_changes AS DOUBLE) / CAST(n_snapshots - 1 AS DOUBLE)
+         |       ELSE 0.0 END AS change_rate,
+         |  CASE WHEN n_snapshots = 1 THEN 'unknown'
+         |       WHEN CAST(n_changes AS DOUBLE) / CAST(n_snapshots - 1 AS DOUBLE) >= 0.5 THEN 'high'
+         |       WHEN n_changes > 0 THEN 'medium'
+         |       ELSE 'low' END AS priority
+         |FROM g""".stripMargin,
+    // kg29: property profile replayed from the materialized
+    // (qid, pid, isQidValue) claim rows — the same two-level aggregate
+    "kg29_property_profile" ->
+      s"""WITH per_subj AS (
+         |  SELECT qid, pid, count(*) AS n,
+         |    CAST(SUM(CASE WHEN isQidValue THEN 1 ELSE 0 END) AS BIGINT) AS nq
+         |  FROM read_parquet('$OF/kg29_claim_kinds/*.parquet')
+         |  GROUP BY qid, pid)
+         |SELECT pid, CAST(SUM(n) AS BIGINT) AS n_claims,
+         |  count(*) AS n_subjects,
+         |  max(n) AS max_per_subject,
+         |  CAST(SUM(nq) AS BIGINT) AS n_entity_valued,
+         |  CAST(SUM(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_per_subject,
+         |  max(n) = 1 AS functional
+         |FROM per_subj GROUP BY pid""".stripMargin,
     // kg24: snapshot-to-snapshot fact diff replayed from the materialized
     // (qid, pid, value, ts) observation frame — latest fetch via a qid
     // window, then both presence flags in one conditional aggregate

@@ -650,4 +650,86 @@ object KgQueries {
         countDistinct(col("url")).as("n_urls"),
         min(col("url")).as("rep_url"))
       .filter(col("n_copies") > 1)
+
+  /** kg28: change-rate recrawl priority — the scheduling signal a crawler
+    * derives from its own revisit history (the Cho/Garcia-Molina change-
+    * frequency estimate, simplified to observed change fraction): per url,
+    * the fraction of consecutive snapshot pairs whose content digest
+    * changed, bucketed into a priority class the frontier scheduler (w6)
+    * consumes. kg19 answers "what is the latest state"; kg28 answers "how
+    * often should I come back".
+    *
+    * 100 TB shape: digests are computed BEFORE the per-url shuffle (bodies
+    * never move — the kg19 rule); the consecutive-pair comparison is one
+    * url-keyed window over (ts, digest) scalars, then one map-side-combined
+    * groupBy on the same key — a single shuffle end to end.
+    */
+  def recrawlPriority(spark: SparkSession, dir: String): DataFrame =
+    recrawlPriorityFrame(materializeForOracle(
+      Revisit.snapshotDigests(pagesBoth(spark), "html"), "kg28_snapshots"))
+
+  /** [[recrawlPriority]] over any (url, warc_ts, digest) snapshot frame —
+    * the seam the unit spec drives with planted 3-snapshot histories.
+    * Single-snapshot urls have no pair evidence: rate 0.0, class
+    * "unknown".
+    */
+  def recrawlPriorityFrame(snapshots: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("url").orderBy("warc_ts")
+    snapshots
+      .withColumn("_prev", lag(col("digest"), 1).over(w))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_snapshots"),
+        sum(when(col("_prev").isNotNull && col("digest") =!= col("_prev"), 1L)
+          .otherwise(0L)).as("n_changes"))
+      .withColumn("change_rate",
+        when(col("n_snapshots") > 1,
+          col("n_changes").cast("double") / (col("n_snapshots") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("priority",
+        when(col("n_snapshots") === 1, "unknown")
+          .when(col("change_rate") >= 0.5, "high")
+          .when(col("n_changes") > 0, "medium")
+          .otherwise("low"))
+  }
+
+  /** kg29: per-predicate property profile — the schema-induction table a
+    * KG builder maintains to pick constraints and storage layouts: claim
+    * volume, distinct subjects, per-subject cardinality (max + mean), and
+    * the entity-valued share. `max_per_subject == 1` is exactly "this
+    * predicate is functional as used", the data-driven form of the
+    * single-value constraint kg13 enforces; a mixed entity/literal kind
+    * share flags extraction bugs before they poison the triple store.
+    *
+    * 100 TB shape: claims parse to (qid, pid, kind) scalars in place, then
+    * two map-side-combined groupBys — (qid, pid) then pid, the first on
+    * the triple table's own bucket key; only per-group counters cross
+    * either shuffle. The mean is n_claims/n_subjects in IEEE double, which
+    * the DuckDB oracle replays exactly.
+    */
+  def propertyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = payloads(spark).map(_.payload).flatMap { line =>
+      WikidataJson.parseLine(line).map(WikidataJson.toClaimRows(_, "en")).getOrElse(Seq.empty)
+    }.toDF()
+    propertyProfileStats(materializeForOracle(
+      rows.select("qid", "pid", "isQidValue"), "kg29_claim_kinds"))
+  }
+
+  /** The aggregate half of kg29 over (qid, pid, isQidValue) claim rows —
+    * the seam the unit spec drives with a planted mixed-kind predicate.
+    */
+  def propertyProfileStats(kinds: DataFrame): DataFrame =
+    kinds
+      .groupBy("qid", "pid")
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("isQidValue"), 1L).otherwise(0L)).as("_nq"))
+      .groupBy("pid")
+      .agg(sum(col("_n")).as("n_claims"),
+        count(lit(1)).as("n_subjects"),
+        max(col("_n")).as("max_per_subject"),
+        sum(col("_nq")).as("n_entity_valued"))
+      .withColumn("mean_per_subject",
+        col("n_claims").cast("double") / col("n_subjects").cast("double"))
+      .withColumn("functional", col("max_per_subject") === 1)
 }

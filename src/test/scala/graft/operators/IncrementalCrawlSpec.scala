@@ -85,6 +85,35 @@ class IncrementalCrawlSpec extends AnyFunSuite {
     assert(out.size == KgQueries.nPages + PagesGen.properties.size)
   }
 
+  test("kg28 recrawl priority: rate and class from planted snapshot histories") {
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val snaps = Seq(
+      ("u1", ts(1000L), "a"), ("u1", ts(2000L), "b"), ("u1", ts(3000L), "c"),
+      ("u2", ts(1000L), "a"), ("u2", ts(2000L), "a"), ("u2", ts(3000L), "b"),
+      ("u3", ts(1000L), "a"), ("u3", ts(2000L), "a"), ("u3", ts(3000L), "a"),
+      ("u3", ts(4000L), "b"),
+      ("u4", ts(1000L), "a"), ("u4", ts(2000L), "a"),
+      ("u5", ts(1000L), "a"))
+    val got = KgQueries.recrawlPriorityFrame(snaps.toDF("url", "warc_ts", "digest"))
+      .as[(String, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "u1" -> ((3L, 2L, 1.0, "high")),       // changed every revisit
+      "u2" -> ((3L, 1L, 0.5, "high")),       // exactly at the 0.5 boundary
+      "u3" -> ((4L, 1L, 1.0 / 3.0, "medium")),
+      "u4" -> ((2L, 0L, 0.0, "low")),        // revisited, never changed
+      "u5" -> ((1L, 0L, 0.0, "unknown"))))   // no pair evidence
+  }
+
+  test("kg28 over the corpus: revised urls high, re-serves low, single-crawl unknown") {
+    val out = KgQueries.recrawlPriority(spark, "")
+      .select("url", "priority").as[(String, String)].collect().toMap
+    def u(i: Long) = PagesGen.urlOf(PagesGen.qid(i))
+    assert(out(u(6)) == "high")    // population revised between crawls
+    assert(out(u(3)) == "low")     // re-crawled, byte-identical
+    assert(out(u(5)) == "unknown") // not re-crawled
+  }
+
   test("kg23: exact-dup groups are exactly the unchanged re-serves, multiplicity 2") {
     val got = KgQueries.exactDupGroups(spark, "")
       .select("n_copies", "n_urls", "rep_url")

@@ -84,6 +84,26 @@ class KgQueriesSpec extends AnyFunSuite {
     assert(mains == n + (0L until n).count(_ % 7 == 0) + (0L until n).count(_ % 13 == 0))
   }
 
+  test("kg29 propertyProfileStats: cardinality + kind stats from planted claim rows") {
+    val kinds = Seq(
+      ("Q1", "P17", true), ("Q2", "P17", true),                      // functional, entity-valued
+      ("Q1", "P39", true), ("Q1", "P39", true), ("Q2", "P39", true), // multi-valued on Q1
+      ("Q1", "P1082", false), ("Q2", "P1082", true)                  // mixed kinds: extraction bug
+    ).toDF("qid", "pid", "isQidValue")
+    val got = KgQueries.propertyProfileStats(kinds)
+      .as[(String, Long, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == Map(
+      "P17" -> ((2L, 2L, 1L, 2L, 1.0, true)),
+      "P39" -> ((3L, 2L, 2L, 3L, 1.5, false)),
+      "P1082" -> ((2L, 2L, 1L, 1L, 1.0, true))))
+    // corpus-level: P17 is one-per-item (functional); P31 carries an extra
+    // preferred claim for the i%7==0 family (not functional)
+    val prof = KgQueries.propertyProfile(spark, "")
+      .select("pid", "functional").as[(String, Boolean)].collect().toMap
+    assert(prof("P17") && !prof("P31"))
+  }
+
   test("kg18 danglingStats: planted broken references fire the dangling column") {
     val refs = Seq(
       ("Q1", "P17", "Q2"), ("Q1", "P17", "QMISSING"), // one resolved, one dangling
