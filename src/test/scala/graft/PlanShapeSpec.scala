@@ -442,4 +442,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "the candidate join must be an equi-join on (block, key)\n" + p.take(1500))
     assert(p.contains("block") && p.contains("key"), p.take(1500))
   }
+
+  test("s8: corpus encodes in-row (one exchange total, for the rank window); queries broadcast") {
+    val p = planOf("s8_ann_pq")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastExchange"), "query+LUT side must broadcast\n" + p.take(1500))
+    // encode is a narrow projection against codebook literals: the ONLY
+    // hash shuffle in the whole query is the per-query rank window
+    val exchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange (rank window), got $exchanges\n${p.take(1500)}")
+  }
+
+  test("kg28: the lag window and the per-url aggregate share ONE exchange") {
+    val p = planOf("kg28_recrawl_priority")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // window partitions by url, groupBy keys on url → Spark must reuse the
+    // window's hashpartitioning for the aggregate (single shuffle end to end)
+    val exchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange (url), got $exchanges\n${p.take(1500)}")
+  }
+
+  test("kg29: two map-side-combined aggregate exchanges, no join, no window") {
+    val p = planOf("kg29_property_profile")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1500))
+    val exchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 hash exchanges ((qid,pid) then pid), got $exchanges\n${p.take(1500)}")
+  }
 }
