@@ -67,6 +67,54 @@ object CrawlStream {
       }.toDF()
   }
 
+  final case class RecrawlState(n: Long, nChanges: Long,
+                                latestTs: Long, latestDigest: String)
+  final case class RecrawlRow(url: String, n_snapshots: Long, n_changes: Long,
+                              change_rate: Double, priority: String)
+
+  /** kg28 as a stream: the recrawl-priority signal maintained incrementally
+    * — consecutive-pair change counting needs only the LATEST (ts, digest)
+    * in state (one scalar row per url, however long the crawl runs),
+    * because crawl drops arrive in crawl order and in-batch rows are sorted
+    * by fetch time, so each new snapshot compares against the running tail
+    * exactly as the batch lag window does
+    * ([[graft.operators.KgQueries.recrawlPriorityFrame]] — spec-pinned
+    * equal). A LATE snapshot (ts ≤ the held tail) would silently
+    * misattribute changes under a tail-only fold, so it fails loudly
+    * instead. Emits upsert rows in UPDATE mode (keep each url's last).
+    */
+  def recrawlStream(snapshots: DataFrame): DataFrame = {
+    val spark = snapshots.sparkSession
+    import spark.implicits._
+    val ds = snapshots.select(col("url"),
+      unix_millis(col("warc_ts").cast("timestamp")).as("ts_ms"),
+      col("digest")).as[SnapObs]
+    ds.groupByKey(_.url)
+      .mapGroupsWithState[RecrawlState, RecrawlRow](GroupStateTimeout.NoTimeout()) {
+        (url, it, state) =>
+          var s = state.getOption.orNull
+          it.toSeq.sortBy(_.ts_ms).foreach { e =>
+            s =
+              if (s == null) RecrawlState(1, 0, e.ts_ms, e.digest)
+              else {
+                require(e.ts_ms > s.latestTs,
+                  s"out-of-order snapshot for $url: ${e.ts_ms} <= ${s.latestTs}")
+                RecrawlState(s.n + 1,
+                  s.nChanges + (if (e.digest != s.latestDigest) 1L else 0L),
+                  e.ts_ms, e.digest)
+              }
+          }
+          state.update(s)
+          val rate = if (s.n > 1) s.nChanges.toDouble / (s.n - 1).toDouble else 0.0
+          val pri =
+            if (s.n == 1) "unknown"
+            else if (rate >= 0.5) "high"
+            else if (s.nChanges > 0) "medium"
+            else "low"
+          RecrawlRow(url, s.n, s.nChanges, rate, pri)
+      }.toDF()
+  }
+
   final case class ValueObs(qid: String, value: String, ts_ms: Long)
   final case class ScdState(closed: List[(String, Long, Long)],
                             openValue: String, openFrom: Long, nObs: Long)

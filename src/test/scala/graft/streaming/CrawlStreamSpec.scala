@@ -72,6 +72,26 @@ class CrawlStreamSpec extends AnyFunSuite {
     assert(want.exists(_._2 == 2L))
   }
 
+  test("recrawlStream over two crawl drops == batch kg28 priority; tail digest carries across batches") {
+    val c1 = Revisit.snapshotDigests(PagesGen.pages(spark, n), "html")
+    val c2 = Revisit.snapshotDigests(PagesGen.pagesDelta(spark, n), "html")
+    val dir = streamDir("recrawl", Seq(c1, c2))
+    val schema = spark.read.parquet(s"$dir/b00.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val emitted = runUpdate(CrawlStream.recrawlStream(stream), "recrawl_stream")
+      .as[CrawlStream.RecrawlRow].collect()
+    val got = emitted.groupBy(_.url).view
+      .mapValues(rs => rs.maxBy(_.n_snapshots)).values
+      .map(r => (r.url, r.n_snapshots, r.n_changes, r.change_rate, r.priority)).toSet
+    val want = KgQueries.recrawlPriorityFrame(c1.unionByName(c2))
+      .as[(String, Long, Long, Double, String)].collect().toSet
+    assert(got == want)
+    // all three corpus classes crossed the batch boundary
+    val pris = want.map(_._5)
+    assert(pris.contains("high") && pris.contains("low") && pris.contains("unknown"))
+  }
+
   test("scdStream over two crawl drops == batch Scd.intervals; open interval carries across batches") {
     val obs1 = KgQueries.scdObservations(spark, PagesGen.pages(spark, n))
     val obs2 = KgQueries.scdObservations(spark, PagesGen.pagesDelta(spark, n))
