@@ -151,6 +151,9 @@ object SparkEntry {
     // product-quantization ANN: integer-quantized codebook + ADC search over
     // codes only — the compressed-corpus scale path, bit-replayable in SQL
     "s8_ann_pq" -> ((s, d) => Similarity.pqTopK(s, d)),
+    // IVF-PQ: coarse cells + PQ over residuals — the billion-scale index
+    // layout; per-(query, probed-cell) LUTs, candidates pruned by cell
+    "s9_ann_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     // retrieval eval
     "em1_retrieval_metrics" -> ((s, d) => Eval.metrics(s, d)),
     "em2_rerank" -> ((s, d) => Eval.rerank(s, d)),
@@ -1524,6 +1527,67 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |    ORDER BY ad ASC, neighbor_id ASC) AS rank FROM adc)
          |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    // s9: IVF-PQ — coarse centroids DERIVE in SQL (first-16 rule), the
+    // residual codebook is the materialized kernel; the oracle replays
+    // quantize → coarse argmin → residual → encode → probes →
+    // per-(query,cell) LUT → ADC → top-K in exact bigint arithmetic
+    "s9_ann_ivfpq" ->
+      s"""WITH cb AS (
+         |  SELECT sub, code, qvec FROM read_parquet('$OF/s9_pq_codebook/*.parquet')),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |coarse AS (SELECT CAST(vec_id AS INT) AS cell, q AS cvec FROM e WHERE vec_id < 16),
+         |ce AS (SELECT vec_id, unnest(q) AS x, unnest(range(1, 65)) AS i FROM e),
+         |cc AS (SELECT cell, unnest(cvec) AS y, unnest(range(1, 65)) AS i FROM coarse),
+         |cd AS (
+         |  SELECT ce.vec_id, cc.cell, CAST(SUM((ce.x - cc.y)*(ce.x - cc.y)) AS BIGINT) AS d
+         |  FROM ce JOIN cc ON ce.i = cc.i GROUP BY 1, 2),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
+         |    FROM cd) t WHERE r = 1),
+         |r_e AS (
+         |  SELECT ce.vec_id, CAST((ce.i - 1) // 8 AS INT) AS sub,
+         |    ((ce.i - 1) % 8) + 1 AS j, ce.x - cc.y AS rx
+         |  FROM ce JOIN asg a ON ce.vec_id = a.vec_id
+         |          JOIN cc ON cc.cell = a.cell AND cc.i = ce.i),
+         |cb_e AS (SELECT sub, code, unnest(qvec) AS y, unnest(range(1, 9)) AS j FROM cb),
+         |pd AS (
+         |  SELECT r.vec_id, r.sub, c.code,
+         |    CAST(SUM((r.rx - c.y)*(r.rx - c.y)) AS BIGINT) AS d
+         |  FROM r_e r JOIN cb_e c ON r.sub = c.sub AND r.j = c.j GROUP BY 1, 2, 3),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rr
+         |    FROM pd) t WHERE rr = 1),
+         |probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT vec_id AS query_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS pr
+         |    FROM cd WHERE vec_id < 10) t WHERE pr <= 4),
+         |q_r AS (
+         |  SELECT p.query_id, p.cell, CAST((ce.i - 1) // 8 AS INT) AS sub,
+         |    ((ce.i - 1) % 8) + 1 AS j, ce.x - cc.y AS rx
+         |  FROM probe p JOIN ce ON ce.vec_id = p.query_id
+         |          JOIN cc ON cc.cell = p.cell AND cc.i = ce.i),
+         |lut AS (
+         |  SELECT q.query_id, q.cell, q.sub, c.code,
+         |    CAST(SUM((q.rx - c.y)*(q.rx - c.y)) AS BIGINT) AS d
+         |  FROM q_r q JOIN cb_e c ON q.sub = c.sub AND q.j = c.j GROUP BY 1, 2, 3, 4),
+         |adc AS (
+         |  SELECT l.query_id, en.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS ad
+         |  FROM enc en JOIN asg a ON a.vec_id = en.vec_id
+         |       JOIN lut l ON l.cell = a.cell AND l.sub = en.sub AND l.code = en.code
+         |  WHERE en.vec_id != l.query_id
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ad ASC, neighbor_id ASC) AS rank FROM adc)
+         |SELECT query_id, neighbor_id, rank FROM rk WHERE rank <= 5""".stripMargin,
     "em1_retrieval_metrics" ->
       s"""${retrievalCte()},
          |pq AS (

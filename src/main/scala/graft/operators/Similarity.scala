@@ -287,10 +287,19 @@ object Similarity {
     * longs ever reach the driver. Returns (sub:int, code:int,
     * qvec:array<bigint>).
     */
-  def pqCodebook(e0: DataFrame, m: Int, dsub: Int, ksub: Int, iters: Int): DataFrame = {
+  def pqCodebook(e0: DataFrame, m: Int, dsub: Int, ksub: Int, iters: Int): DataFrame =
+    pqCodebookQuantized(
+      e0.select(col("vec_id"), quantize(col("embedding")).as("q")),
+      m, dsub, ksub, iters)
+
+  /** [[pqCodebook]] over an already-quantized (vec_id, q:array<bigint>)
+    * frame — the seam that lets IVF-PQ (s9) train on coarse RESIDUALS.
+    */
+  def pqCodebookQuantized(e0: DataFrame, m: Int, dsub: Int, ksub: Int,
+                          iters: Int): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
-    val qe = e0.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val qe = e0.select(col("vec_id"), col("q"))
       .as[(Long, Seq[Long])].persist()
     val seed = qe.filter(_._1 < ksub).collect().sortBy(_._1).map(_._2.toArray)
     if (seed.isEmpty) {
@@ -381,6 +390,82 @@ object Similarity {
       lit(0L), (acc, v) => acc + v)
     val w = Window.partitionBy("query_id").orderBy(asc("ad"), asc("neighbor_id"))
     enc.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), ad.as("ad"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** s9: IVF-PQ — the coarse quantizer (s5) COMPOSED with product
+    * quantization (s8) on the residuals, which is the canonical
+    * billion-scale index layout: a vector is stored as (cell, m codes), a
+    * query probes its nProbe nearest cells and scores candidates by ADC
+    * over the RESIDUAL codes (LUTs are per (query, probed cell), because
+    * the residual is relative to that cell's centroid). Coarse centroids
+    * are the first nCells quantized vectors (the s5 deterministic rule, so
+    * the oracle can derive them); the residual codebook is integer-Lloyd
+    * trained ([[pqCodebookQuantized]]) and materialized.
+    *
+    * 100 TB shape: everything the corpus-side pass computes — cell argmin,
+    * residual, code argmins — is in-row against literals (zero shuffles
+    * before the rank window); the persisted index row is (vec_id, cell,
+    * codes): the cell is the partition/bucket key AND the candidate prune,
+    * the codes are the ~32× compressed payload. Queries broadcast
+    * nProbe LUT rows each; candidates join on the cell equi-key (never a
+    * full-corpus scan per query), and only (query_id, neighbor_id, ad)
+    * scalars cross the rank shuffle. All arithmetic is exact bigint on
+    * [[quantize]]d coordinates — the DuckDB oracle replays assignment,
+    * residuals, encode, probes, LUTs, ADC and the top-K bit-for-bit.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, dsub: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val coarse: Array[Array[Long]] = e.filter(col("vec_id") < nCells)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).map(_._2.toArray)
+    require(coarse.length == nCells, s"corpus has fewer than $nCells seed vectors")
+    val coarseLit = array(coarse.map(cv => array(cv.map(lit): _*)): _*)
+    def cellDists(qcol: Column) = array(coarse.map(cv => l2sqLit(qcol, cv)): _*)
+    val cellCol = (array_position(cellDists(col("q")), array_min(cellDists(col("q")))) - 1)
+      .cast("int")
+    val residOfCell = (q: Column, cell: Column) =>
+      zip_with(q, element_at(coarseLit, cell + 1), (x, y) => x - y)
+    val withCell = e.withColumn("cell", cellCol)
+      .withColumn("r", residOfCell(col("q"), col("cell")))
+    val cb = OracleFrames.materialize(
+      pqCodebookQuantized(withCell.select(col("vec_id"), col("r").as("q")),
+        m, dsub, ksub, iters),
+      "s9_pq_codebook")
+    val cbArr: Array[Array[Array[Long]]] = {
+      val a: Array[Array[Array[Long]]] = Array.fill(m, ksub)(null)
+      cb.collect().foreach(r => a(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+      a
+    }
+    def subCol(c: Column, s: Int) = slice(c, s * dsub + 1, dsub)
+    val codesCol = array((0 until m).map { s =>
+      val dists = array((0 until ksub).map(cc => l2sqLit(subCol(col("r"), s), cbArr(s)(cc))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val enc = withCell.select(col("vec_id"), col("cell"), codesCol.as("codes"))
+    // query side (bounded): nProbe nearest cells each, residual + LUT per
+    // probed cell — m·ksub·nProbe bigints per query on the broadcast side
+    val wp = Window.partitionBy("query_id").orderBy(asc("cd"), asc("cell"))
+    val lutCol = array((0 until m).map { s =>
+      array((0 until ksub).map(cc => l2sqLit(subCol(col("qr"), s), cbArr(s)(cc))): _*)
+    }: _*)
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q"),
+        posexplode(cellDists(col("q"))).as(Seq("cell", "cd")))
+      .withColumn("_pr", row_number().over(wp)).filter(col("_pr") <= nProbe)
+      .withColumn("qr", residOfCell(col("q"), col("cell")))
+      .select(col("query_id"), col("cell"), lutCol.as("lut"))
+    val ad = aggregate(
+      zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("query_id").orderBy(asc("ad"), asc("neighbor_id"))
+    enc.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), ad.as("ad"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -453,6 +453,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange (rank window), got $exchanges\n${p.take(1500)}")
   }
 
+  test("s9: candidates join the broadcast probes on the cell EQUI-key; corpus side in-row") {
+    val p = planOf("s9_ann_ivfpq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cell must be an equi-join key, not a per-query corpus scan\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // corpus side encodes in-row: the only hash exchanges are the two
+    // bounded windows (query-side probe ranking + final rank)
+    val exchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges\n${p.take(1500)}")
+  }
+
   test("kg28: the lag window and the per-url aggregate share ONE exchange") {
     val p = planOf("kg28_recrawl_priority")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

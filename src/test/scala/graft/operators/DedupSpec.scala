@@ -202,6 +202,46 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"PQ recall too low: $recall%.3f")
   }
 
+  test("IVF-PQ (s9): pipeline == independent Scala coarse+residual+ADC replay") {
+    val pq = Similarity.ivfPqTopK(spark, withEmbeddings, nQueries = 10, k = 5,
+      nCells = 8, nProbe = 2, m = 4, dsub = 8, ksub = 16, iters = 2)
+    val qe = spark.read.parquet(s"$withEmbeddings/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val coarse: IndexedSeq[Seq[Long]] = (0 until 8).map(c => qe(c.toLong))
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cellOf(v: Seq[Long]): Int = (0 until 8).minBy(c => (l2(v, coarse(c)), c))
+    def resid(v: Seq[Long], c: Int): Seq[Long] =
+      v.zip(coarse(c)).map { case (x, y) => x - y }
+    // train the residual codebook from THIS replay's residuals — identical
+    // to the pipeline's only if the in-row cell assignment agrees
+    val residDf = qe.toSeq.map { case (id, v) => (id, resid(v, cellOf(v))) }
+      .toDF("vec_id", "q")
+    val cents = Array.fill(4, 16)(Seq.empty[Long])
+    Similarity.pqCodebookQuantized(residDf, 4, 8, 16, 2)
+      .as[(Int, Int, Seq[Long])].collect()
+      .foreach { case (s, c, v) => cents(s)(c) = v }
+    def codes(r: Seq[Long]): Seq[Int] = (0 until 4).map { s =>
+      val sv = r.slice(s * 8, (s + 1) * 8)
+      (0 until 16).minBy(c => (l2(sv, cents(s)(c)), c))
+    }
+    def adc(qr: Seq[Long], vcodes: Seq[Int]): Long =
+      (0 until 4).map(s => l2(qr.slice(s * 8, (s + 1) * 8), cents(s)(vcodes(s)))).sum
+    val want = (0L until 10L).flatMap { qid =>
+      val probeCells = (0 until 8).sortBy(c => (l2(qe(qid), coarse(c)), c)).take(2).toSet
+      qe.keys.filter(_ != qid).toSeq
+        .map(n => (n, cellOf(qe(n))))
+        .filter { case (_, c) => probeCells.contains(c) }
+        .map { case (n, c) => (n, adc(resid(qe(qid), c), codes(resid(qe(n), c)))) }
+        .sortBy { case (n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((n, _), i) => (qid, n, i + 1) }
+    }.toSet
+    val got = pq.as[(Long, Long, Int)].collect().toSet
+    assert(got == want, "Spark IVF-PQ pipeline must equal the independent replay")
+    assert(got.nonEmpty)
+  }
+
   test("PQ codebook is deterministic across input partitionings") {
     val e = spark.read.parquet(s"$withEmbeddings/embeddings.parquet")
     val c1 = Similarity.pqCodebook(e.repartition(2), 4, 8, 16, 2)
