@@ -260,9 +260,10 @@ object ScalingBench {
              |See the driver's `BENCH_r{N}.json` (graft.Bench at sf0.1, 32 threads,
              |second-run times — first run pays JIT/codegen which amortizes at scale).
              |Round-over-round totals are NOT comparable: the query count grew from
-             |49 (r2) to 53 (r3) to 84 (r4), and the r4 additions include iterative
-             |graph queries that pay a fixed per-round scheduling floor at toy
-             |scale (the carried-over 53 match r3's 38.9 s like-for-like).
+             |49 (r2) to 53 (r3) to 84 (r4) to ${SparkEntry.queries.size} (r5), and the r4/r5
+             |additions include iterative graph queries that pay a fixed per-round
+             |scheduling floor at toy scale (the carried-over 53 match r3's
+             |38.9 s like-for-like).
              |""".stripMargin
 
         // comparison vs the reference's own single-node throughput, if the

@@ -103,6 +103,9 @@ object SparkEntry {
     // pair space → map-side partials; top-k via TakeOrderedAndProject
     // (bounded heap), never a global sort
     "d23_bpe_pairs" -> ((s, d) => T.d23BpePairs(s, d)),
+    // BPE tokenizer APPLY (the d23-trained merges as a tokenizer): merge
+    // rules are a driver-bounded literal in one narrow codegen projection
+    "d24_bpe_encode" -> ((s, d) => T.d24BpeEncode(s, d)),
     // dedup family
     // url canonicalization (pre-dedup crawl hygiene): chain of codegen'd
     // regexp columns, one narrow projection — zero shuffles
@@ -154,6 +157,10 @@ object SparkEntry {
     // IVF-PQ: coarse cells + PQ over residuals — the billion-scale index
     // layout; per-(query, probed-cell) LUTs, candidates pruned by cell
     "s9_ann_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    // recall audit: recall@k of every approximate searcher (s2/s5/s6/s8/s9)
+    // vs the s1 exact truth in one frame — the metric that makes
+    // bits/tables/nProbe/ksub tunable before trusting an index at scale
+    "s10_ann_recall_audit" -> ((s, d) => Similarity.annRecallAudit(s, d)),
     // retrieval eval
     "em1_retrieval_metrics" -> ((s, d) => Eval.metrics(s, d)),
     "em2_rerank" -> ((s, d) => Eval.rerank(s, d)),
@@ -312,10 +319,277 @@ object SparkEntry {
        |  FROM nn n CROSS JOIN pl p
        |  GROUP BY n.vec_id, p.t)""".stripMargin
 
+  /** The ANN searcher oracles (each a complete WITH…SELECT returning
+    * (query_id, neighbor_id, rank)), shared between their own map entries
+    * and the s10 recall-audit oracle, which nests every one of them as a
+    * parenthesized subquery — so the audit can never drift from the
+    * searcher semantics it claims to measure.
+    */
+  private lazy val annSqls: Map[String, String] = Map(
+    "s1" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qvec, e.embedding) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s2" ->
+      s"""WITH ${lshCte(seedBase = 42, tables = 4, bits = 8)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn
+         |      FROM nn WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id AS neighbor_id, qb.vec_id AS query_id
+         |  FROM bkt c JOIN bkt qb ON c.t = qb.t AND c.bucket = qb.bucket
+         |  WHERE qb.vec_id < 10 AND c.vec_id != qb.vec_id),
+         |sc AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    CASE WHEN q.qn * e.nrm = 0 THEN 0.0
+         |         ELSE ${sqlDot("q.qvec", "e.embedding")} / (q.qn * e.nrm) END AS cos
+         |  FROM cand
+         |  JOIN nn e ON e.vec_id = cand.neighbor_id
+         |  JOIN q ON q.query_id = cand.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s5" ->
+      s"""WITH nn AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cn FROM nn WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT n.vec_id, n.embedding, n.nrm, c.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        CASE WHEN n.nrm * c.cn = 0 THEN 0.0
+         |             ELSE ${sqlDot("n.embedding", "c.cvec")} / (n.nrm * c.cn) END DESC,
+         |        c.cell ASC) AS cr
+         |    FROM nn n CROSS JOIN cent c) t WHERE cr = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM nn WHERE vec_id < 10),
+         |probe AS (
+         |  SELECT query_id, qvec, qn, cell FROM (
+         |    SELECT q.query_id, q.qvec, q.qn, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        CASE WHEN q.qn * c.cn = 0 THEN 0.0
+         |             ELSE ${sqlDot("q.qvec", "c.cvec")} / (q.qn * c.cn) END DESC,
+         |        c.cell ASC) AS pr
+         |    FROM q CROSS JOIN cent c) t WHERE pr <= 4),
+         |sc AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CASE WHEN p.qn * a.nrm = 0 THEN 0.0
+         |         ELSE ${sqlDot("p.qvec", "a.embedding")} / (p.qn * a.nrm) END AS cos
+         |  FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id != p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s6" ->
+      s"""WITH nn AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT cell, cvec, sqrt(${sqlDot("cvec", "cvec")}) AS cn
+         |  FROM read_parquet('$OF/s6_centroids/*.parquet')),
+         |asg AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT n.vec_id, n.embedding, n.nrm, c.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        CASE WHEN n.nrm * c.cn = 0 THEN 0.0
+         |             ELSE ${sqlDot("n.embedding", "c.cvec")} / (n.nrm * c.cn) END DESC,
+         |        c.cell ASC) AS cr
+         |    FROM nn n CROSS JOIN cent c) t WHERE cr = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM nn WHERE vec_id < 10),
+         |probe AS (
+         |  SELECT query_id, qvec, qn, cell FROM (
+         |    SELECT q.query_id, q.qvec, q.qn, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        CASE WHEN q.qn * c.cn = 0 THEN 0.0
+         |             ELSE ${sqlDot("q.qvec", "c.cvec")} / (q.qn * c.cn) END DESC,
+         |        c.cell ASC) AS pr
+         |    FROM q CROSS JOIN cent c) t WHERE pr <= 4),
+         |sc AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CASE WHEN p.qn * a.nrm = 0 THEN 0.0
+         |         ELSE ${sqlDot("p.qvec", "a.embedding")} / (p.qn * a.nrm) END AS cos
+         |  FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id != p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s8" ->
+      s"""WITH cb AS (
+         |  SELECT sub, code, qvec FROM read_parquet('$OF/s8_codebook/*.parquet')),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |sub_e AS (
+         |  SELECT vec_id, s.sub AS sub,
+         |    unnest(list_slice(q, s.sub*8+1, s.sub*8+8)) AS x,
+         |    unnest(range(1, 9)) AS i
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+         |cb_e AS (
+         |  SELECT sub, code, unnest(qvec) AS y, unnest(range(1, 9)) AS i FROM cb),
+         |d AS (
+         |  SELECT se.vec_id, se.sub, c.code,
+         |    CAST(SUM((se.x - c.y)*(se.x - c.y)) AS BIGINT) AS d
+         |  FROM sub_e se JOIN cb_e c ON se.sub = c.sub AND se.i = c.i
+         |  GROUP BY 1, 2, 3),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS r
+         |    FROM d) t WHERE r = 1),
+         |adc AS (
+         |  SELECT qd.vec_id AS query_id, en.vec_id AS neighbor_id,
+         |    CAST(SUM(qd.d) AS BIGINT) AS ad
+         |  FROM enc en JOIN d qd ON qd.sub = en.sub AND qd.code = en.code
+         |  WHERE qd.vec_id < 10 AND en.vec_id != qd.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ad ASC, neighbor_id ASC) AS rank FROM adc)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s9" ->
+      s"""WITH cb AS (
+         |  SELECT sub, code, qvec FROM read_parquet('$OF/s9_pq_codebook/*.parquet')),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |coarse AS (SELECT CAST(vec_id AS INT) AS cell, q AS cvec FROM e WHERE vec_id < 16),
+         |ce AS (SELECT vec_id, unnest(q) AS x, unnest(range(1, 65)) AS i FROM e),
+         |cc AS (SELECT cell, unnest(cvec) AS y, unnest(range(1, 65)) AS i FROM coarse),
+         |cd AS (
+         |  SELECT ce.vec_id, cc.cell, CAST(SUM((ce.x - cc.y)*(ce.x - cc.y)) AS BIGINT) AS d
+         |  FROM ce JOIN cc ON ce.i = cc.i GROUP BY 1, 2),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
+         |    FROM cd) t WHERE r = 1),
+         |r_e AS (
+         |  SELECT ce.vec_id, CAST((ce.i - 1) // 8 AS INT) AS sub,
+         |    ((ce.i - 1) % 8) + 1 AS j, ce.x - cc.y AS rx
+         |  FROM ce JOIN asg a ON ce.vec_id = a.vec_id
+         |          JOIN cc ON cc.cell = a.cell AND cc.i = ce.i),
+         |cb_e AS (SELECT sub, code, unnest(qvec) AS y, unnest(range(1, 9)) AS j FROM cb),
+         |pd AS (
+         |  SELECT r.vec_id, r.sub, c.code,
+         |    CAST(SUM((r.rx - c.y)*(r.rx - c.y)) AS BIGINT) AS d
+         |  FROM r_e r JOIN cb_e c ON r.sub = c.sub AND r.j = c.j GROUP BY 1, 2, 3),
+         |enc AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rr
+         |    FROM pd) t WHERE rr = 1),
+         |probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT vec_id AS query_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS pr
+         |    FROM cd WHERE vec_id < 10) t WHERE pr <= 4),
+         |q_r AS (
+         |  SELECT p.query_id, p.cell, CAST((ce.i - 1) // 8 AS INT) AS sub,
+         |    ((ce.i - 1) % 8) + 1 AS j, ce.x - cc.y AS rx
+         |  FROM probe p JOIN ce ON ce.vec_id = p.query_id
+         |          JOIN cc ON cc.cell = p.cell AND cc.i = ce.i),
+         |lut AS (
+         |  SELECT q.query_id, q.cell, q.sub, c.code,
+         |    CAST(SUM((q.rx - c.y)*(q.rx - c.y)) AS BIGINT) AS d
+         |  FROM q_r q JOIN cb_e c ON q.sub = c.sub AND q.j = c.j GROUP BY 1, 2, 3, 4),
+         |adc AS (
+         |  SELECT l.query_id, en.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS ad
+         |  FROM enc en JOIN asg a ON a.vec_id = en.vec_id
+         |       JOIN lut l ON l.cell = a.cell AND l.sub = en.sub AND l.code = en.code
+         |  WHERE en.vec_id != l.query_id
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ad ASC, neighbor_id ASC) AS rank FROM adc)
+         |SELECT query_id, neighbor_id, rank FROM rk WHERE rank <= 5""".stripMargin)
+
+  /** s10 oracle: truth and every approximate searcher nest VERBATIM (each
+    * full WITH…SELECT as a parenthesized subquery), then one left join
+    * against truth + per-method counts + the 1-row n_truth cross join —
+    * the same shape as the engine's audit frame.
+    */
+  private def s10Sql: String = {
+    val union = Seq("s2" -> "s2_lsh", "s5" -> "s5_ivf", "s6" -> "s6_ivf_trained",
+      "s8" -> "s8_pq", "s9" -> "s9_ivfpq")
+      .map { case (key, name) =>
+        s"SELECT '$name' AS method, query_id, neighbor_id FROM (\n${annSqls(key)}\n) z"
+      }.mkString("\n  UNION ALL\n")
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM (
+       |${annSqls("s1")}
+       |) z),
+       |am AS (
+       |  $union),
+       |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |g AS (
+       |  SELECT method, CAST(count(*) AS BIGINT) AS n_returned,
+       |    CAST(coalesce(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+       |  FROM am a LEFT JOIN truth t
+       |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |  GROUP BY method)
+       |SELECT method, n_returned, n_hit, n_truth,
+       |  CASE WHEN n_truth = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall
+       |FROM g CROSS JOIN tc""".stripMargin
+  }
+
   /** w1/w2 oracle scaffold: rebuild the deterministic messy urls and replay
     * the canonicalizer's six rules as chained CTEs; the caller supplies the
     * final SELECT over `c7(doc_id, raw_url, canon_url)`.
     */
+  /** d24 oracle: the d23 pair-count CTE ranks the merge list; each rank
+    * folds into two constant columns (pattern "␟a␟b␟", replacement "␟ab␟",
+    * chr(30) when the rank doesn't exist — it can never match); the
+    * tokenizer is the unrolled rank-ordered two-pass `replace` chain over
+    * each word's chr(31)-interspersed rendering — character-identical to
+    * the engine's TextAnalysis.d24Frame column chain.
+    */
+  private def d24Sql: String = {
+    val base = "chr(31) || regexp_replace(x, '(.)', '\\1' || chr(31), 'g')"
+    val chain = (1 to 8).foldLeft(base) { (acc, r) =>
+      s"replace(replace($acc, r.p$r, r.q$r), r.p$r, r.q$r)"
+    }
+    val ruleCols = (1 to 8).map { r =>
+      s"coalesce(max(CASE WHEN rk = $r THEN chr(31) || pair[1:1] || chr(31) || pair[2:2] || chr(31) END), chr(30)) AS p$r,\n" +
+        s"    coalesce(max(CASE WHEN rk = $r THEN chr(31) || pair || chr(31) END), chr(30)) AS q$r"
+    }.mkString(",\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+       |  FROM documents),
+       |pr AS (
+       |  SELECT unnest(list_transform(range(1, length(word)), i -> word[i:i+1])) AS pair
+       |  FROM (SELECT unnest(w) AS word FROM t) z),
+       |m AS (
+       |  SELECT pair, rk FROM (
+       |    SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS rk
+       |    FROM pr GROUP BY pair) z WHERE rk <= 8),
+       |rules AS (
+       |  SELECT
+       |    $ruleCols
+       |  FROM m),
+       |app AS (
+       |  SELECT doc_id, w, list_transform(w, x -> $chain) AS a
+       |  FROM t CROSS JOIN rules r),
+       |agg AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS n_chars,
+       |    CAST(coalesce(list_sum(list_transform(a,
+       |      s -> length(s) - length(replace(s, chr(31), '')) - 1)), 0) AS BIGINT) AS n_tokens
+       |  FROM app)
+       |SELECT doc_id, n_words, n_chars, n_tokens,
+       |  CASE WHEN n_chars > 0 THEN CAST(n_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE)
+       |       ELSE 0.0 END AS compression
+       |FROM agg""".stripMargin
+  }
+
   private def urlCanonSql(finalSelect: String): String =
     s"""WITH raw AS (
        |  SELECT doc_id,
@@ -1168,6 +1442,11 @@ object SparkEntry {
         |  FROM wd),
         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
         |SELECT pair, n FROM c ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // d24: BPE apply — the oracle re-derives the ranked merge list with the
+    // d23 CTE, folds it into one constant `rules` row (chr(30) dummies for
+    // absent ranks never match), and replays the tokenizer as the SAME
+    // unrolled two-pass replace chain per word inside a list lambda
+    "d24_bpe_encode" -> d24Sql,
     // w1/w2: the oracle rebuilds the SAME deterministic messy urls from
     // doc_id/source/lang and replays the canonicalizer rule-for-rule (RE2
     // dialect: \1 backrefs in the REWRITE only; patterns are Java∩RE2)
@@ -1334,36 +1613,8 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = a
         |JOIN sizes sb ON sb.doc_id = b
         |WHERE inter * 1.0 / (sa.nsh + sb.nsh - inter) >= 0.03""".stripMargin,
-    "s1_ann_brute" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT query_id, e.vec_id AS neighbor_id,
-        |    list_cosine_similarity(qvec, e.embedding) AS cos
-        |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
-    "s2_ann_lsh" ->
-      s"""WITH ${lshCte(seedBase = 42, tables = 4, bits = 8)},
-         |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn
-         |      FROM nn WHERE vec_id < 10),
-         |cand AS (
-         |  SELECT DISTINCT c.vec_id AS neighbor_id, qb.vec_id AS query_id
-         |  FROM bkt c JOIN bkt qb ON c.t = qb.t AND c.bucket = qb.bucket
-         |  WHERE qb.vec_id < 10 AND c.vec_id != qb.vec_id),
-         |sc AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |    CASE WHEN q.qn * e.nrm = 0 THEN 0.0
-         |         ELSE ${sqlDot("q.qvec", "e.embedding")} / (q.qn * e.nrm) END AS cos
-         |  FROM cand
-         |  JOIN nn e ON e.vec_id = cand.neighbor_id
-         |  JOIN q ON q.query_id = cand.query_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
-         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s1_ann_brute" -> annSqls("s1"),
+    "s2_ann_lsh" -> annSqls("s2"),
     "s4_embedding_neardup_lsh" ->
       s"""WITH ${lshCte(seedBase = 7, tables = 4, bits = 10)},
          |cand AS (
@@ -1424,170 +1675,25 @@ object SparkEntry {
          |         ELSE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) END AS cos
          |  FROM nn x JOIN nn y ON x.vec_id < y.vec_id)
          |SELECT a, b, round(cos, 6) + 0 AS cos FROM p WHERE cos >= 0.3""".stripMargin,
-    "s5_ann_ivf" ->
-      s"""WITH nn AS (
-         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |cent AS (SELECT vec_id AS cell, embedding AS cvec, nrm AS cn FROM nn WHERE vec_id < 16),
-         |asg AS (
-         |  SELECT vec_id, embedding, nrm, cell FROM (
-         |    SELECT n.vec_id, n.embedding, n.nrm, c.cell,
-         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        CASE WHEN n.nrm * c.cn = 0 THEN 0.0
-         |             ELSE ${sqlDot("n.embedding", "c.cvec")} / (n.nrm * c.cn) END DESC,
-         |        c.cell ASC) AS cr
-         |    FROM nn n CROSS JOIN cent c) t WHERE cr = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM nn WHERE vec_id < 10),
-         |probe AS (
-         |  SELECT query_id, qvec, qn, cell FROM (
-         |    SELECT q.query_id, q.qvec, q.qn, c.cell,
-         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |        CASE WHEN q.qn * c.cn = 0 THEN 0.0
-         |             ELSE ${sqlDot("q.qvec", "c.cvec")} / (q.qn * c.cn) END DESC,
-         |        c.cell ASC) AS pr
-         |    FROM q CROSS JOIN cent c) t WHERE pr <= 4),
-         |sc AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    CASE WHEN p.qn * a.nrm = 0 THEN 0.0
-         |         ELSE ${sqlDot("p.qvec", "a.embedding")} / (p.qn * a.nrm) END AS cos
-         |  FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id != p.query_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
-         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s5_ann_ivf" -> annSqls("s5"),
     // s6: trained-IVF — the k-means codebook is the materialized non-SQL
     // kernel; the oracle REPLAYS the whole search half from it (assignment,
     // probes, bit-exact re-rank, top-K window), mirroring Similarity.ivfSearch
-    "s6_ann_ivf_trained" ->
-      s"""WITH nn AS (
-         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |cent AS (
-         |  SELECT cell, cvec, sqrt(${sqlDot("cvec", "cvec")}) AS cn
-         |  FROM read_parquet('$OF/s6_centroids/*.parquet')),
-         |asg AS (
-         |  SELECT vec_id, embedding, nrm, cell FROM (
-         |    SELECT n.vec_id, n.embedding, n.nrm, c.cell,
-         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        CASE WHEN n.nrm * c.cn = 0 THEN 0.0
-         |             ELSE ${sqlDot("n.embedding", "c.cvec")} / (n.nrm * c.cn) END DESC,
-         |        c.cell ASC) AS cr
-         |    FROM nn n CROSS JOIN cent c) t WHERE cr = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM nn WHERE vec_id < 10),
-         |probe AS (
-         |  SELECT query_id, qvec, qn, cell FROM (
-         |    SELECT q.query_id, q.qvec, q.qn, c.cell,
-         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |        CASE WHEN q.qn * c.cn = 0 THEN 0.0
-         |             ELSE ${sqlDot("q.qvec", "c.cvec")} / (q.qn * c.cn) END DESC,
-         |        c.cell ASC) AS pr
-         |    FROM q CROSS JOIN cent c) t WHERE pr <= 4),
-         |sc AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    CASE WHEN p.qn * a.nrm = 0 THEN 0.0
-         |         ELSE ${sqlDot("p.qvec", "a.embedding")} / (p.qn * a.nrm) END AS cos
-         |  FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id != p.query_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
-         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s6_ann_ivf_trained" -> annSqls("s6"),
     // s8: PQ — the trained integer codebook is the materialized kernel; the
     // oracle replays quantize → per-subspace encode (argmin integer L2²,
     // ties to the lower code) → ADC (the query's distance rows ARE the
     // lookup table) → top-K, all in exact bigint arithmetic
-    "s8_ann_pq" ->
-      s"""WITH cb AS (
-         |  SELECT sub, code, qvec FROM read_parquet('$OF/s8_codebook/*.parquet')),
-         |e AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0 + 0.5) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |sub_e AS (
-         |  SELECT vec_id, s.sub AS sub,
-         |    unnest(list_slice(q, s.sub*8+1, s.sub*8+8)) AS x,
-         |    unnest(range(1, 9)) AS i
-         |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
-         |cb_e AS (
-         |  SELECT sub, code, unnest(qvec) AS y, unnest(range(1, 9)) AS i FROM cb),
-         |d AS (
-         |  SELECT se.vec_id, se.sub, c.code,
-         |    CAST(SUM((se.x - c.y)*(se.x - c.y)) AS BIGINT) AS d
-         |  FROM sub_e se JOIN cb_e c ON se.sub = c.sub AND se.i = c.i
-         |  GROUP BY 1, 2, 3),
-         |enc AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT vec_id, sub, code,
-         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS r
-         |    FROM d) t WHERE r = 1),
-         |adc AS (
-         |  SELECT qd.vec_id AS query_id, en.vec_id AS neighbor_id,
-         |    CAST(SUM(qd.d) AS BIGINT) AS ad
-         |  FROM enc en JOIN d qd ON qd.sub = en.sub AND qd.code = en.code
-         |  WHERE qd.vec_id < 10 AND en.vec_id != qd.vec_id
-         |  GROUP BY 1, 2),
-         |r AS (
-         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY ad ASC, neighbor_id ASC) AS rank FROM adc)
-         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "s8_ann_pq" -> annSqls("s8"),
     // s9: IVF-PQ — coarse centroids DERIVE in SQL (first-16 rule), the
     // residual codebook is the materialized kernel; the oracle replays
     // quantize → coarse argmin → residual → encode → probes →
     // per-(query,cell) LUT → ADC → top-K in exact bigint arithmetic
-    "s9_ann_ivfpq" ->
-      s"""WITH cb AS (
-         |  SELECT sub, code, qvec FROM read_parquet('$OF/s9_pq_codebook/*.parquet')),
-         |e AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0 + 0.5) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |coarse AS (SELECT CAST(vec_id AS INT) AS cell, q AS cvec FROM e WHERE vec_id < 16),
-         |ce AS (SELECT vec_id, unnest(q) AS x, unnest(range(1, 65)) AS i FROM e),
-         |cc AS (SELECT cell, unnest(cvec) AS y, unnest(range(1, 65)) AS i FROM coarse),
-         |cd AS (
-         |  SELECT ce.vec_id, cc.cell, CAST(SUM((ce.x - cc.y)*(ce.x - cc.y)) AS BIGINT) AS d
-         |  FROM ce JOIN cc ON ce.i = cc.i GROUP BY 1, 2),
-         |asg AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r
-         |    FROM cd) t WHERE r = 1),
-         |r_e AS (
-         |  SELECT ce.vec_id, CAST((ce.i - 1) // 8 AS INT) AS sub,
-         |    ((ce.i - 1) % 8) + 1 AS j, ce.x - cc.y AS rx
-         |  FROM ce JOIN asg a ON ce.vec_id = a.vec_id
-         |          JOIN cc ON cc.cell = a.cell AND cc.i = ce.i),
-         |cb_e AS (SELECT sub, code, unnest(qvec) AS y, unnest(range(1, 9)) AS j FROM cb),
-         |pd AS (
-         |  SELECT r.vec_id, r.sub, c.code,
-         |    CAST(SUM((r.rx - c.y)*(r.rx - c.y)) AS BIGINT) AS d
-         |  FROM r_e r JOIN cb_e c ON r.sub = c.sub AND r.j = c.j GROUP BY 1, 2, 3),
-         |enc AS (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT vec_id, sub, code,
-         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rr
-         |    FROM pd) t WHERE rr = 1),
-         |probe AS (
-         |  SELECT query_id, cell FROM (
-         |    SELECT vec_id AS query_id, cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS pr
-         |    FROM cd WHERE vec_id < 10) t WHERE pr <= 4),
-         |q_r AS (
-         |  SELECT p.query_id, p.cell, CAST((ce.i - 1) // 8 AS INT) AS sub,
-         |    ((ce.i - 1) % 8) + 1 AS j, ce.x - cc.y AS rx
-         |  FROM probe p JOIN ce ON ce.vec_id = p.query_id
-         |          JOIN cc ON cc.cell = p.cell AND cc.i = ce.i),
-         |lut AS (
-         |  SELECT q.query_id, q.cell, q.sub, c.code,
-         |    CAST(SUM((q.rx - c.y)*(q.rx - c.y)) AS BIGINT) AS d
-         |  FROM q_r q JOIN cb_e c ON q.sub = c.sub AND q.j = c.j GROUP BY 1, 2, 3, 4),
-         |adc AS (
-         |  SELECT l.query_id, en.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS ad
-         |  FROM enc en JOIN asg a ON a.vec_id = en.vec_id
-         |       JOIN lut l ON l.cell = a.cell AND l.sub = en.sub AND l.code = en.code
-         |  WHERE en.vec_id != l.query_id
-         |  GROUP BY 1, 2),
-         |rk AS (
-         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY ad ASC, neighbor_id ASC) AS rank FROM adc)
-         |SELECT query_id, neighbor_id, rank FROM rk WHERE rank <= 5""".stripMargin,
+    "s9_ann_ivfpq" -> annSqls("s9"),
+    // s10: the recall audit's oracle nests truth + all five approximate
+    // searchers VERBATIM (annSqls), so the audit row and each searcher row
+    // are provably measuring the same semantics
+    "s10_ann_recall_audit" -> s10Sql,
     "em1_retrieval_metrics" ->
       s"""${retrievalCte()},
          |pq AS (

@@ -536,6 +536,53 @@ object Similarity {
     * precedent); ratios are computed long→double with IEEE division, which
     * the DuckDB oracle replays exactly.
     */
+  /** s10: ANN recall audit — recall@k of EVERY approximate searcher in the
+    * family (LSH s2, IVF s5, trained IVF s6, PQ s8, IVF-PQ s9) against the
+    * brute-force exact truth (s1), in one frame. Completes the audit triad
+    * (s7 blocking quality, kg18 dangling refs, kg13 conflicts): before
+    * trusting an index layout at full scale you measure what its pruning
+    * costs — this is the operator that makes bits/tables/nProbe/ksub tunable
+    * with a hard metric instead of folklore.
+    *
+    * recall = |approx top-k ∩ exact top-k| / |exact top-k| micro-averaged
+    * over the query set; n_returned also surfaces searchers that return
+    * FEWER than k rows (an LSH bucket miss), which recall alone would hide.
+    *
+    * Scale shape: the audit consumes only the searchers' top-K OUTPUTS —
+    * nQueries·k scalar rows each — so everything after the underlying
+    * searches is driver-bounded: the truth side broadcasts into one join,
+    * the per-method counts are one groupBy over ≤ methods·nQueries·k rows,
+    * and n_truth rides in as a 1-row broadcast cross join (the KeywordSearch
+    * corpus-stats precedent). Soundness contract = s1's: exact truth is only
+    * computable while the query side broadcasts, so at 100 TB you run the
+    * audit on a bounded query sample — which is also exactly how recall is
+    * measured in practice.
+    */
+  def annRecallAudit(spark: SparkSession, dir: String,
+                     nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("is_true"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "s2_lsh" -> lshTopK(spark, dir, nQueries, k),
+      "s5_ivf" -> ivfTopK(spark, dir, nQueries, k),
+      "s6_ivf_trained" -> ivfTopKTrained(spark, dir, nQueries, k),
+      "s8_pq" -> pqTopK(spark, dir, nQueries, k),
+      "s9_ivfpq" -> ivfPqTopK(spark, dir, nQueries, k))
+    val all = methods.map { case (name, df) =>
+      df.select(lit(name).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    all.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("is_true")), lit(0L)).as("n_hit"))
+      .crossJoin(broadcast(nTruth))
+      .withColumn("recall",
+        when(col("n_truth") === 0L, lit(1.0))
+          .otherwise(col("n_hit").cast("double") / col("n_truth").cast("double")))
+      .select("method", "n_returned", "n_hit", "n_truth", "recall")
+  }
+
   def blockingQuality(spark: SparkSession, dir: String, threshold: Double = 0.3,
                       bits: Int = 10, tables: Int = 4, dimLen: Int = 64): DataFrame = {
     import spark.implicits._

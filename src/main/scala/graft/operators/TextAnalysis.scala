@@ -543,6 +543,65 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** d24: BPE tokenizer APPLY — the read side of d23's training statistic:
+    * take the top `nMerges` trained merge rules and tokenize every document
+    * with them, reporting per-doc token counts and the compression the
+    * tokenizer actually buys. Merge semantics (defined, deterministic, and
+    * identical in both engines): rules apply in rank order; one rule merges
+    * ALL disjoint adjacent occurrences greedily left-to-right (its
+    * fixpoint — a merged token is multi-char and can never re-match a
+    * single-char pair rule, so the fixpoint is reached after exactly two
+    * non-overlapping string-replace passes: pass one can only miss a pair
+    * whose LEADING boundary the previous match consumed, and such misses
+    * are never adjacent). Words render as -delimited token strings
+    * ("␟t␟h␟e␟"), a rule (t,h) is the literal replace "␟t␟h␟" → "␟th␟" —
+    * token-boundary-anchored, so a merged token's tail can never be
+    * mistaken for a rule operand. `replace` is non-regex in both engines.
+    *
+    * 100 TB shape: the merge list is a driver-bounded literal (nMerges
+    * strings) baked into ONE narrow codegen projection — tokenization
+    * itself touches no shuffle at all; the only Exchange in the query is
+    * d23's bounded pair-count aggregate that trains the rules. n_tokens
+    * per word = separator count − 1, computed from a per-word applied
+    * string materialized once inside a `transform` (no expression
+    * re-evaluation).
+    */
+  def d24BpeEncode(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
+    d24Frame(docs(spark, dir), nMerges)
+
+  /** [[d24BpeEncode]] over any (doc_id, text) frame. */
+  def d24Frame(documents: DataFrame, nMerges: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val SEP = "\u001f" // unit separator: never appears in corpus text
+    // ranked merge list: TakeOrderedAndProject keeps (n desc, pair asc)
+    // order through collect — the rule application order below
+    val merges: Seq[String] =
+      d23Frame(documents, nMerges).select("pair").as[String].collect().toSeq
+    def applied(w: Column): Column = {
+      val interspersed = concat(lit(SEP), regexp_replace(w, "(.)", "$1" + SEP))
+      merges.foldLeft(interspersed) { (s, pair) =>
+        val pat = lit(s"$SEP${pair.charAt(0)}$SEP${pair.charAt(1)}$SEP")
+        val rep = lit(s"$SEP$pair$SEP")
+        val once = call_function("replace", s, pat, rep)
+        call_function("replace", once, pat, rep)
+      }
+    }
+    val words = wordsCol(col("text"))
+    // applied strings materialize once per word; counts fold over them
+    val appliedArr = transform(words, w => applied(w))
+    val nToks = aggregate(appliedArr, lit(0L), (acc, s) =>
+      acc + (length(s) - length(call_function("replace", s, lit(SEP), lit("")))).cast("long") - 1L)
+    val nChars = aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    documents
+      .select(col("doc_id"), size(words).cast("long").as("n_words"),
+        nChars.as("n_chars"), nToks.as("n_tokens"))
+      .withColumn("compression",
+        when(col("n_chars") > 0,
+          col("n_tokens").cast("double") / col("n_chars").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** d20: winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
     * window over `w` consecutive gram hashes, and select each window's

@@ -198,6 +198,46 @@ class TextQualitySpec extends AnyFunSuite {
     assert(all == Seq(("ab", 3L), ("ba", 1L), ("yz", 1L)))
   }
 
+  test("d24 bpe apply == independent greedy token-walk replay; merges compress") {
+    val fixture = Seq(
+      (1L, "the then there"),
+      (2L, "aaa aa a"),
+      (3L, ""),
+      (4L, "xy xy xy zq"))
+    val docs = fixture.toDF("doc_id", "text")
+    val got = TextAnalysis.d24Frame(docs, nMerges = 4)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // independent replay: train the same ranked merge list from pair
+    // counts, then tokenize by a greedy left-to-right token WALK (not
+    // string replaces) applying rules in rank order
+    val words = fixture.flatMap(_._2.trim.split("\\s+").filter(_.nonEmpty))
+    val counts = words.flatMap(w => w.sliding(2).filter(_.length == 2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val merges = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(4).map(_._1)
+    def applyRule(toks: List[String], a: String, b: String): List[String] = toks match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: applyRule(rest, a, b)
+      case x :: rest => x :: applyRule(rest, a, b)
+      case Nil => Nil
+    }
+    def nTokens(w: String): Long = {
+      var t: List[String] = w.map(_.toString).toList
+      merges.foreach(p => t = applyRule(t, p.substring(0, 1), p.substring(1, 2)))
+      t.size.toLong
+    }
+    fixture.foreach { case (id, text) =>
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val (nw, nc, nt) = (ws.size.toLong, ws.map(_.length.toLong).sum, ws.map(nTokens).sum)
+      val comp = if (nc > 0) nt.toDouble / nc.toDouble else 0.0
+      assert(got(id) == ((nw, nc, nt, comp)), s"doc $id: got ${got(id)}, want ($nw,$nc,$nt,$comp)")
+    }
+    // the trained merges must actually compress: tokens < chars somewhere
+    assert(got.values.exists(v => v._3 < v._2))
+    // hand-check: "aaa" under rule (a,a) is greedy-leftmost → [aa, a] = 2
+    // tokens; doc 2 = "aaa aa a" → 2 + 1 + 1 = 4
+    assert(got(2L)._3 == 4L)
+  }
+
   test("d19 dsir: target-like docs outweigh off-target docs; empty docs unselected") {
     // target = lang 'en'; en-vocab and de-vocab are disjoint, so a raw 'xx'
     // doc written in en-vocab must outweigh a raw 'xx' doc in de-vocab
