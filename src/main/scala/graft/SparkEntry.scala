@@ -57,6 +57,10 @@ object SparkEntry {
     // Count-Min heavy-hitter estimates: sum-based counters — mergeable,
     // order-independent, at most d*w rows leave any partition
     "d9_cms_heavy" -> ((s, d) => Sketches.d9CmsHeavy(s, d)),
+    // HyperLogLog distinct sketch: register max IS a relational aggregate
+    // (two-level groupBy, map-side partials), exact-integer registers,
+    // estimate + linear-counting branch IEEE-replayed by the oracle
+    "d25_hll_distinct" -> ((s, d) => Sketches.d25HllDistinct(s, d)),
     // deterministic bottom-k-by-hash uniform sample → quantile estimates
     // next to exact order statistics (no global per-group sort at scale)
     "d10_quantile_sample" -> ((s, d) => Sketches.d10QuantileSample(s, d)),
@@ -161,6 +165,10 @@ object SparkEntry {
     // vs the s1 exact truth in one frame — the metric that makes
     // bits/tables/nProbe/ksub tunable before trusting an index at scale
     "s10_ann_recall_audit" -> ((s, d) => Similarity.annRecallAudit(s, d)),
+    // incremental index ingest: frozen centroids, persisted base
+    // assignments READ not recomputed, only the delta pays the assignment
+    // map — bit-identical to a full rebuild (spec-pinned)
+    "s11_ann_ingest" -> ((s, d) => Similarity.ivfIngestDelta(s, d)),
     // retrieval eval
     "em1_retrieval_metrics" -> ((s, d) => Eval.metrics(s, d)),
     "em2_rerank" -> ((s, d) => Eval.rerank(s, d)),
@@ -1062,6 +1070,47 @@ object SparkEntry {
         |       ELSE 63.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
         |  END AS est_kmv
         |FROM a""".stripMargin,
+    // d25: HLL replay — same 60-bit md5 hash, bucket = low 6 bits, ρ via
+    // the STRING bitlen length(bin(w)) (exact in both engines), registers
+    // as max(ρ), indicator sum exact in BIGINT (Σ 1<<(55−reg) + empties),
+    // then the identical α·m²·2^55/S chain and ln-linear-counting branch
+    "d25_hll_distinct" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (SELECT lang, t FROM toks WHERE length(t) > 0),
+        |h AS (
+        |  SELECT lang, t, CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
+        |  FROM tok),
+        |br AS (
+        |  SELECT lang, h % 64 AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h // 64)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT lang, bucket, max(rho) AS reg FROM br GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang,
+        |    CAST(sum(1::BIGINT << (55 - reg)) AS BIGINT) AS s_present,
+        |    count(*) AS nb
+        |  FROM regs GROUP BY lang),
+        |ex AS (SELECT lang, CAST(count(DISTINCT t) AS BIGINT) AS n_exact
+        |       FROM tok GROUP BY lang),
+        |est AS (
+        |  SELECT a.lang, e.n_exact,
+        |    CAST(a.s_present + (64 - a.nb) * (1::BIGINT << 55) AS DOUBLE) AS s,
+        |    64 - a.nb AS v
+        |  FROM agg a JOIN ex e ON a.lang = e.lang),
+        |fin AS (
+        |  SELECT lang, n_exact,
+        |    CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 36028797018963968.0 / s <= 160.0
+        |              AND v > 0
+        |         THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+        |         ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 36028797018963968.0 / s
+        |    END AS e
+        |  FROM est)
+        |SELECT lang, n_exact, round(e, 6) + 0 AS est_hll,
+        |  round((e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) + 0 AS rel_err
+        |FROM fin""".stripMargin,
     // d9: DuckDB rebuilds the counter matrix (same md5 buckets, sums) and
     // takes the same min-over-rows estimates for the same top-20 probes
     "d9_cms_heavy" ->
@@ -1694,6 +1743,49 @@ object SparkEntry {
     // searchers VERBATIM (annSqls), so the audit row and each searcher row
     // are provably measuring the same semantics
     "s10_ann_recall_audit" -> s10Sql,
+    // s11: the frozen index halves are materialized frames (centroids +
+    // base assignments); the oracle replays ONLY what the engine computes
+    // at ingest time — the delta assignment from the split rule, the
+    // union, probes, and the bit-exact re-rank
+    "s11_ann_ingest" ->
+      s"""WITH nn AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT cell, cvec, sqrt(${sqlDot("cvec", "cvec")}) AS cn
+         |  FROM read_parquet('$OF/s11_centroids/*.parquet')),
+         |sp AS (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS sp FROM embeddings),
+         |basea AS (
+         |  SELECT b.vec_id, n.embedding, n.nrm, b.cell
+         |  FROM read_parquet('$OF/s11_base_assign/*.parquet') b
+         |  JOIN nn n ON n.vec_id = b.vec_id),
+         |deltaa AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT n.vec_id, n.embedding, n.nrm, c.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        CASE WHEN n.nrm * c.cn = 0 THEN 0.0
+         |             ELSE ${sqlDot("n.embedding", "c.cvec")} / (n.nrm * c.cn) END DESC,
+         |        c.cell ASC) AS cr
+         |    FROM nn n CROSS JOIN cent c CROSS JOIN sp WHERE n.vec_id >= sp.sp) t
+         |  WHERE cr = 1),
+         |asg AS (SELECT * FROM basea UNION ALL SELECT * FROM deltaa),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qn FROM nn WHERE vec_id < 10),
+         |probe AS (
+         |  SELECT query_id, qvec, qn, cell FROM (
+         |    SELECT q.query_id, q.qvec, q.qn, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        CASE WHEN q.qn * c.cn = 0 THEN 0.0
+         |             ELSE ${sqlDot("q.qvec", "c.cvec")} / (q.qn * c.cn) END DESC,
+         |        c.cell ASC) AS pr
+         |    FROM q CROSS JOIN cent c) t WHERE pr <= 4),
+         |sc AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CASE WHEN p.qn * a.nrm = 0 THEN 0.0
+         |         ELSE ${sqlDot("p.qvec", "a.embedding")} / (p.qn * a.nrm) END AS cos
+         |  FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id != p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
     "em1_retrieval_metrics" ->
       s"""${retrievalCte()},
          |pq AS (

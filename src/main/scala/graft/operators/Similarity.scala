@@ -146,16 +146,31 @@ object Similarity {
     * and the trained mode (s6).
     */
   def ivfSearch(e: DataFrame, centroids: DataFrame,
-                nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    // cell assignment: rank centroids per vector by cosine, keep the top one
+                nQueries: Int, k: Int, nProbe: Int): DataFrame =
+    ivfSearchAssigned(ivfAssign(e, centroids), e, centroids, nQueries, k, nProbe)
+
+  /** Cell assignment: rank centroids per vector by cosine, keep the top one
+    * (ties to the lower cell id) — the narrow map every IVF variant and the
+    * s11 incremental-ingest path share. Returns (vec_id, embedding, _n,
+    * cell).
+    */
+  def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("_ccos"), asc("cell"))
-    val assigned = e.join(broadcast(centroids), lit(true))
+    e.join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("embedding"), col("_n"), col("cell"),
         cosineWithNorms(col("embedding"), col("cvec"), col("_n"), col("_cn")).as("_ccos"))
       .withColumn("_cr", row_number().over(wAssign))
       .filter(col("_cr") === 1)
       .select(col("vec_id"), col("embedding"), col("_n"), col("cell"))
+  }
 
+  /** The probe + exact-re-rank half of IVF over an ALREADY-ASSIGNED corpus
+    * frame (vec_id, embedding, _n, cell) — the seam that lets s11 search an
+    * index whose base assignments were READ from the persisted index rather
+    * than recomputed.
+    */
+  def ivfSearchAssigned(assigned: DataFrame, e: DataFrame, centroids: DataFrame,
+                        nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     // queries probe their nProbe nearest cells
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("_n").as("_qn"))
@@ -253,6 +268,42 @@ object Similarity {
     val cents = OracleFrames.materialize(trainedCentroids(e, nCells, iters), "s6_centroids")
       .select(col("cell"), col("cvec"), norm(col("cvec")).as("_cn"))
     ivfSearch(e, cents, nQueries, k, nProbe)
+  }
+
+  /** s11: incremental ANN ingest — the index-MAINTENANCE path every ANN
+    * family needs at crawl scale: the corpus grows by a delta batch, the
+    * trained coarse quantizer stays FROZEN, only the delta pays the
+    * assignment map, and the persisted base index (vec_id, cell) is READ,
+    * never recomputed. Because assignment is a pure per-row function of
+    * (vector, centroids), searching base∪delta this way is bit-identical
+    * to a full rebuild against the same centroids — the equality the spec
+    * pins — so ingest costs O(|delta|) instead of O(|corpus|), the dd4/kg21
+    * incremental discipline applied to vector search.
+    *
+    * Batch boundary: the last ~20% of vec_ids (`floor(max·0.8)`, the dd4
+    * split rule) play the newly-crawled batch. 100 TB shape: the index rows
+    * that re-attach their vectors join on vec_id — the key both tables
+    * would be bucketed by — and the delta branch is one narrow broadcast
+    * map with its batch filter pushed to the scan; everything downstream is
+    * the shared [[ivfSearchAssigned]] probe/re-rank.
+    */
+  def ivfIngestDelta(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                     nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).withColumn("_n", norm(col("embedding")))
+    val split = e.agg(floor(max("vec_id") * 0.8).cast("long")).as[Long].head()
+    val base = e.filter(col("vec_id") < split)
+    val delta = e.filter(col("vec_id") >= split)
+    val cents = OracleFrames.materialize(
+      trainedCentroids(base, nCells, iters), "s11_centroids")
+      .select(col("cell"), col("cvec"), norm(col("cvec")).as("_cn"))
+    val baseIdx = OracleFrames.materialize(
+      ivfAssign(base, cents).select("vec_id", "cell"), "s11_base_assign")
+    val baseAssigned = baseIdx.join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("_n"), col("cell"))
+    val deltaAssigned = ivfAssign(delta, cents)
+    ivfSearchAssigned(baseAssigned.unionByName(deltaAssigned), e, cents,
+      nQueries, k, nProbe)
   }
 
   // ── s8: product quantization ──────────────────────────────────────────

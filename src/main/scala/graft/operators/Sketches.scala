@@ -295,4 +295,65 @@ object Sketches {
       .select(col("lang"), col("n_distinct"),
         kmvEstimate(col("mins"), k).as("est_kmv"))
   }
+
+  /** d25: HyperLogLog distinct-count sketch (Flajolet et al., AofA 2007) —
+    * the REGISTER-based sibling of [[KmvAgg]], here estimating per-language
+    * vocabulary size (distinct tokens). Where KMV keeps the k smallest
+    * hashes, HLL keeps max(ρ) per bucket — and because max is an ordinary
+    * relational aggregate, the whole sketch is a plain two-level groupBy:
+    * no custom Aggregator needed, map-side partial max collapses each
+    * partition to ≤ m scalar rows per group before the one shuffle, and
+    * merge-across-partitions is max's own associativity.
+    *
+    * Exact-integer registers: hash = the 60-bit md5 prefix (the dd1/d8
+    * recipe), bucket = low p bits, ρ = leading-zero count of the remaining
+    * 54-bit window + 1 computed via `length(bin(w))` — a STRING-based
+    * bitlen, exact in both engines (never floor(log2(double))). The
+    * indicator sum Σ 2^−reg scales by 2^55 into one exact BIGINT, so the
+    * only floating-point ops are the final α·m²·2^55/S division chain and
+    * the small-range `m·ln(m/V)` linear-counting branch — both replayed
+    * IEEE-identically (ln guarded by the round(·,6)+0 contract). The raw
+    * estimate is compared, not rounded, for branch selection: both engines
+    * compute it from the same integers with the same op order, so the
+    * branch can never split. Relative error ≈ 1.04/√m.
+    */
+  def d25HllDistinct(spark: SparkSession, dir: String, p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val wBits = 60 - p // remaining hash window after the bucket index
+    val rhoMax = wBits + 1
+    val tokens = Relational.table(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"), explode(split(trim(col("text")), TextAnalysis.WhitespaceRe)).as("t"))
+      .filter(length(col("t")) > 0)
+      .persist()
+    val h = kmvHash(col("t"))
+    val w = shiftright(h, p) // h ≥ 0, so arithmetic shift == unsigned
+    val rho = when(w === 0L, lit(rhoMax))
+      .otherwise(lit(rhoMax) - length(bin(w)).cast("int"))
+    val regs = tokens
+      .select(col("lang"), pmod(h, lit(m.toLong)).as("bucket"), rho.as("rho"))
+      .groupBy("lang", "bucket").agg(max("rho").as("reg"))
+    // Σ 2^(55−reg) over present buckets — exact long; absent buckets are
+    // reg=0 terms of 2^55 each, added from the bucket count
+    val sums = regs.groupBy("lang")
+      .agg(sum(call_function("shiftleft", lit(1L),
+        lit(rhoMax) - col("reg"))).as("s_present"),
+        count(lit(1)).as("nb"))
+      .select(col("lang"),
+        (col("s_present") + (lit(m.toLong) - col("nb")) * lit(1L << rhoMax)).as("s"),
+        (lit(m.toLong) - col("nb")).as("v"))
+    val exact = tokens.groupBy("lang").agg(countDistinct("t").as("n_exact"))
+    tokens.unpersist()
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val rawEst = alpha * lit(m.toDouble * m.toDouble) *
+      lit((1L << rhoMax).toDouble) / col("s").cast("double")
+    val est = when(rawEst <= lit(2.5 * m) && col("v") > 0L,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+      .otherwise(rawEst)
+    sums.join(exact, Seq("lang"))
+      .select(col("lang"), col("n_exact"),
+        (round(est, 6) + lit(0.0)).as("est_hll"),
+        (round((est - col("n_exact").cast("double")) / col("n_exact").cast("double"), 6)
+          + lit(0.0)).as("rel_err"))
+  }
 }

@@ -50,4 +50,25 @@ class SimilarityAuditSpec extends AnyFunSuite {
     // in DedupSpec
     assert(audit("s5_ivf")._4 >= 0.5)
   }
+
+  test("s11 incremental ingest == full rebuild against the same frozen centroids") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("_n", Similarity.norm(col("embedding")))
+    val split = e.agg(floor(max("vec_id") * 0.8).cast("long")).as[Long].head()
+    // the frozen quantizer: trained on the BASE only, exactly as s11 does
+    val cents = Similarity
+      .trainedCentroids(e.filter(col("vec_id") < split), nCells = 16, iters = 3)
+      .select(col("cell"), col("cvec"), Similarity.norm(col("cvec")).as("_cn"))
+    val full = Similarity.ivfSearch(e, cents, nQueries = 10, k = 5, nProbe = 4)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val inc = Similarity.ivfIngestDelta(spark, dir)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(inc == full, "ingest path must be bit-identical to a full rebuild")
+    // the batch boundary is real: the delta is non-empty AND some delta
+    // vector actually lands in the reported neighbors (otherwise the test
+    // would pass with an ingest path that drops the delta entirely)
+    assert(split <= e.agg(max("vec_id")).as[Long].head())
+    assert(inc.exists(_._2 >= split), "no delta vector reached the top-K")
+  }
 }

@@ -157,4 +157,64 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("d25 HLL == independent register replay; accuracy; linear-counting branch") {
+    // three languages: big vocab (raw-estimate branch), tiny vocab
+    // (linear-counting branch), singleton
+    val rnd = new scala.util.Random(20260818L)
+    val big = (1 to 300).map(_ => (1 to 12).map(_ => s"w${rnd.nextInt(3000)}").mkString(" "))
+    val tiny = (1 to 40).map(_ => (1 to 5).map(_ => s"t${rnd.nextInt(12)}").mkString(" "))
+    val rows =
+      big.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") } ++
+      tiny.zipWithIndex.map { case (t, i) => (1000L + i, t, "de") } ++
+      Seq((2000L, "solo", "fr"))
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "hll-").toString
+    rows.toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent driver-side HLL replay (same hash recipe, same op order)
+    def md5hex60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def replay(texts: Seq[String]): (Long, Double, Double) = {
+      val toks = texts.filter(_.trim.nonEmpty)
+        .flatMap(_.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty))
+      val regs = new Array[Int](64)
+      toks.foreach { t =>
+        val h = md5hex60(t)
+        val b = (h % 64).toInt
+        val w = h >>> 6
+        val rho = if (w == 0) 55 else 55 - java.lang.Long.toBinaryString(w).length
+        if (rho > regs(b)) regs(b) = rho
+      }
+      val s = regs.map(r => 1L << (55 - r)).sum.toDouble
+      val v = regs.count(_ == 0).toLong
+      val alpha = 0.7213 / (1.0 + 1.079 / 64.0)
+      val raw = alpha * 4096.0 * (1L << 55).toDouble / s
+      val e = if (raw <= 160.0 && v > 0) 64.0 * math.log(64.0 / v.toDouble) else raw
+      val exact = toks.distinct.size.toLong
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      (exact, r6(e), r6((e - exact.toDouble) / exact.toDouble))
+    }
+    val want = Map(
+      "en" -> replay(big), "de" -> replay(tiny), "fr" -> replay(Seq("solo")))
+
+    val got = Sketches.d25HllDistinct(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set("en", "de", "fr"))
+    want.foreach { case (lang, w) =>
+      assert(got(lang) == w, s"$lang: got ${got(lang)}, want $w")
+    }
+    // branch sanity: the tiny vocab must have taken linear counting (raw
+    // estimate far below 160 with empty registers) and be near-exact there
+    assert(math.abs(got("de")._2 - got("de")._1.toDouble) / got("de")._1 < 0.35)
+    // the big vocab rides the raw branch within HLL theory (1.04/√64 ≈ 13%
+    // σ; allow 4σ)
+    assert(math.abs(got("en")._3) < 0.52, s"en rel_err ${got("en")._3}")
+  }
 }
