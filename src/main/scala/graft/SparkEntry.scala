@@ -237,6 +237,10 @@ object SparkEntry {
     // bounded-hop BFS from the top-degree hub entities (Pregel frontier
     // shape; oracle unrolls the hops)
     "kg16_bfs" -> (KgQueries.bfs _),
+    // deterministic random-walk corpus (DeepWalk-style node-embedding
+    // training data): seeded md5 next-hop draw, one frontier⋈edges join +
+    // one per-walk window per step, ids/hashes only on the wire
+    "kg30_walks" -> (KgQueries.walks _),
     // top-50 entity pairs by lift — IEEE-double-exact association mining
     "kg17_cooccur_lift" -> (KgQueries.lift _),
     // referential-integrity QA: QID-valued statements with no target entity
@@ -2124,6 +2128,28 @@ object SparkEntry {
     "kg15_pagerank" -> pagerankSql(iters = 10),
     "kg16_bfs" -> bfsSql(hops = 3),
     "kg25_sssp" -> ssspSql(rounds = 3),
+    // kg30: every seeded hop replays from the materialized edge frame —
+    // the same md5-derived draw (60-bit prefix parse), ties to lower dst,
+    // one chained CTE per step; dead-end walks simply stop emitting
+    "kg30_walks" -> {
+      val hops = (1 to 3).map { i =>
+        s"""s$i AS (
+           |  SELECT walk_id, node FROM (
+           |    SELECT f.walk_id, e.dst AS node,
+           |      row_number() OVER (PARTITION BY f.walk_id ORDER BY
+           |        CAST('0x' || substring(md5(f.walk_id || '_${i}_' || e.dst), 1, 15) AS BIGINT) ASC,
+           |        e.dst ASC) AS rn
+           |    FROM s${i - 1} f JOIN e ON e.src = f.node) t WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to 3)
+        .map(i => s"SELECT walk_id, $i AS step, node FROM s$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT src, dst FROM read_parquet('$OF/kg30_edges/*.parquet')),
+         |n AS (SELECT DISTINCT src FROM e),
+         |s0 AS (SELECT src || '#0' AS walk_id, src AS node FROM n),
+         |$hops
+         |$union""".stripMargin
+    },
     "kg26_communities" -> lpaSql(rounds = 4),
     "kg27_kcore" -> kcoreSql(k = 3, rounds = 3),
     // kg19: snapshot consolidation replayed from the materialized

@@ -377,4 +377,46 @@ object GraphOps {
     edges.unpersist(); oriented.unpersist()
     out
   }
+
+  /** kg30: deterministic random walks over a (src, dst) edge frame — the
+    * DeepWalk/node2vec-style corpus generator: node-embedding training data
+    * IS walk sequences, and at KG scale generating them is a distributed
+    * job, not a preprocessing script. One walk starts at every distinct
+    * src (× `walksPerNode`); the "random" next hop is the neighbor
+    * minimizing the md5-derived hash of (walk_id, step, neighbor) — a
+    * seeded draw both engines replay bit-identically (the dd1/d8/d25 hash
+    * recipe), with ties to the lower id. A dead-end node simply ends its
+    * walk. Returns (walk_id, step, node), steps 0..walkLen.
+    *
+    * Scale shape: each step is ONE equi-join of the frontier against edges
+    * on the current node (the key a real deployment buckets edges by) plus
+    * one per-walk window over (hash, dst) scalars — per step the shuffle
+    * carries Σ deg(frontier) id/hash rows, never vectors or payloads, and
+    * the frontier never exceeds the walk count. walkLen is a small constant
+    * (the unrolled-plan contract the oracle replays as chained CTEs), so
+    * lineage stays bounded without checkpoints.
+    */
+  def randomWalks(edges: DataFrame, walkLen: Int,
+                  walksPerNode: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val starts = edges.select(col("src")).distinct()
+      .select(col("src"),
+        explode(array((0 until walksPerNode).map(w => lit(w.toString)): _*)).as("w"))
+      .select(concat_ws("#", col("src"), col("w")).as("walk_id"),
+        col("src").as("node"))
+    var frontier = starts
+    val levels = Seq.newBuilder[DataFrame]
+    levels += starts.withColumn("step", lit(0))
+    for (i <- 1 to walkLen) {
+      val h = Sketches.kmvHash(
+        concat_ws("_", col("walk_id"), lit(i.toString), col("dst")))
+      val w = Window.partitionBy("walk_id").orderBy(col("_h").asc, col("dst").asc)
+      frontier = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("walk_id"), col("dst"), h.as("_h"))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("walk_id"), col("dst").as("node"))
+      levels += frontier.withColumn("step", lit(i))
+    }
+    levels.result().reduce(_ unionByName _).select("walk_id", "step", "node")
+  }
 }

@@ -288,6 +288,16 @@ object KgQueries {
     GraphOps.bfsDistances(edges, seeds, maxHops = 3)
   }
 
+  /** kg30: deterministic random-walk corpus over the co-occurrence graph —
+    * the node-embedding training-data generator (see
+    * [[GraphOps.randomWalks]]); the oracle replays every seeded hop from
+    * the materialized edge frame as chained CTEs.
+    */
+  def walks(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = hubGraph(spark, dir, "kg30_edges", cost = None)
+    GraphOps.randomWalks(edges, walkLen = 3)
+  }
+
   /** Shared kg16/kg25 traversal setup: the symmetrized co-occurrence edge
     * frame (optionally cost-weighted), materialized for the oracle under
     * `frameName`, plus the top-3 out-degree hub seeds (ties by id). One

@@ -330,4 +330,41 @@ class GraphOpsSpec extends AnyFunSuite {
     // lexicographic tie-break (z's own z < x would win a pure-label tie)
     assert(got("z") == "x")
   }
+
+  test("random walks == independent seeded replay; dead ends stop walks") {
+    // directed graph with a hub, a chain, and a dead end (d has no out-edge)
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"), ("b", "c"),
+      ("c", "a"), ("c", "d")).toDF("src", "dst")
+    val got = GraphOps.randomWalks(edges, walkLen = 3)
+      .as[(String, Int, String)].collect().toSet
+
+    // driver-side replay with the same hash recipe and tie-break
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val adj = Map("a" -> Seq("b", "c", "d"), "b" -> Seq("a", "c"), "c" -> Seq("a", "d"))
+    val want = scala.collection.mutable.Set[(String, Int, String)]()
+    Seq("a", "b", "c").foreach { start => // walks start at distinct SRC only
+      val wid = s"$start#0"
+      var cur = start
+      want += ((wid, 0, cur))
+      var step = 1
+      var alive = true
+      while (alive && step <= 3) {
+        adj.get(cur) match {
+          case Some(ns) =>
+            cur = ns.minBy(n => (h60(s"${wid}_${step}_$n"), n))
+            want += ((wid, step, cur)); step += 1
+          case None => alive = false // dead end: the walk stops emitting
+        }
+      }
+    }
+    assert(got == want.toSet, s"got ${got.toSeq.sorted}, want ${want.toSeq.sorted}")
+    // the dead end is real: some walk must be shorter than walkLen+1
+    val lens = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(lens.values.exists(_ < 4), s"no walk hit the dead end: $lens")
+  }
 }
