@@ -128,6 +128,9 @@ object SparkEntry {
     // politeness timetable over the robots-filtered frontier: per-host
     // sequential fetch slots (the inherently-serial-per-host window)
     "w6_frontier_schedule" -> (UrlOps.w6FrontierSchedule(_, _)),
+    // crawl-budget allocation: largest-remainder integer quotas over
+    // quality-weighted hosts — Σ quota == budget exactly, zero float
+    "w7_crawl_budget" -> ((s, d) => UrlOps.w7CrawlBudget(s, d)),
     "dd1_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dd2_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dd3_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardExact(s, d)),
@@ -1529,6 +1532,48 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
         |  FROM c7 JOIN documents d USING (doc_id)
         |  GROUP BY 1)""".stripMargin),
+    // w7: the oracle replays w3's host-quality rollup, then the identical
+    // all-integer largest-remainder allocation — floor = (w·B) // W,
+    // leftovers to the biggest remainders (host ASC ties) — so quotas
+    // hash-match exactly and Σ quota == B in both engines
+    "w7_crawl_budget" -> urlCanonSql(
+      """,
+        |hq AS (
+        |  SELECT host, n_docs, n_bad, (n_bad * 4 > n_docs) AS blocked
+        |  FROM (
+        |    SELECT regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |      count(*) AS n_docs,
+        |      CAST(sum(CASE WHEN
+        |        (CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END) < 5
+        |        OR (length(d.text) - length(regexp_replace(d.text, '[.,;:!?]', '', 'g'))) * 10 > length(d.text)
+        |        OR (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g'))) * 5 > length(d.text)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        |    FROM c7 JOIN documents d USING (doc_id)
+        |    GROUP BY 1)),
+        |w AS (
+        |  SELECT host, blocked,
+        |    CASE WHEN blocked THEN CAST(0 AS BIGINT)
+        |         ELSE n_docs - n_bad END AS weight
+        |  FROM hq),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w),
+        |b AS (
+        |  SELECT host, blocked, weight, tw,
+        |    CASE WHEN tw > 0 THEN CAST((weight * 1000) // tw AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS fl,
+        |    CASE WHEN tw > 0 THEN CAST((weight * 1000) % tw AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS rem
+        |  FROM w CROSS JOIN t),
+        |l AS (
+        |  SELECT CASE WHEN max(tw) > 0 THEN 1000 - CAST(sum(fl) AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS lo
+        |  FROM b),
+        |r AS (
+        |  SELECT b.*, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+        |  FROM b)
+        |SELECT host, blocked, weight,
+        |  CAST(fl + CASE WHEN rk <= l.lo THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r CROSS JOIN l""".stripMargin),
     // w4: the oracle rebuilds host + distinct 3-grams per doc, counts
     // document frequency relationally, and picks the per-host winner with a
     // row_number window (count DESC, gram ASC — the engine's min(struct)

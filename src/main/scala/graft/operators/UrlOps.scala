@@ -284,4 +284,54 @@ object UrlOps {
       .select(col("doc_id"), col("host"), col("path"), col("slot"),
         ((col("slot") - 1L) * delayMs).as("fetch_at_ms"))
   }
+
+  /** w7: crawl-budget allocation — the planning step between host quality
+    * (w3) and the frontier schedule (w6): split a global fetch budget B
+    * across hosts proportionally to quality-weighted demand
+    * (weight = good docs = n_docs − n_bad; blocked hosts weigh 0), with the
+    * largest-remainder (Hamilton) method so quotas are integers and
+    * Σ quota == B EXACTLY. The entire allocation is integer arithmetic —
+    * floor share = (weight·B) div W, remainder = (weight·B) mod W, the B −
+    * Σfloor leftovers go to the largest remainders (ties to the smaller
+    * host) — so both engines replay it bit-for-bit with no float anywhere.
+    *
+    * 100 TB shape: rides w3's single scalar-only groupBy(host); the totals
+    * are 1-row broadcast cross joins (the KeywordSearch precedent); the
+    * remainder ranking is one global sort of |hosts| SCALAR rows — hosts
+    * are ~10^7 at web scale, noise next to the corpus scan (and the same
+    * inherently-global step every budget allocator pays). Σ remainder ≡ 0
+    * (mod W) guarantees leftovers ≤ count(rem > 0), so a zero-weight host
+    * can never draw a +1.
+    */
+  def w7CrawlBudget(spark: SparkSession, dir: String, budget: Long = 1000L): DataFrame =
+    w7Frame(w3Frame(docs(spark, dir)), budget)
+
+  /** [[w7CrawlBudget]] over any (host, n_docs, n_bad, blocked) frame. */
+  def w7Frame(hostQuality: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    // eager checkpoint of the host-scalar frame: totals, floors, leftovers
+    // and the final select all reuse it — without the cut, each 1-row
+    // aggregate branch would re-run the upstream rollup and re-scan the
+    // corpus (the self-join recompute trap; plan-pinned to ≤1 exchange)
+    val w = hostQuality.select(col("host"), col("blocked"),
+      when(col("blocked"), lit(0L))
+        .otherwise(col("n_docs") - col("n_bad")).as("weight"))
+      .localCheckpoint(true)
+    val t = w.agg(sum("weight").cast("long").as("tw"))
+    val b = w.crossJoin(broadcast(t))
+      .select(col("host"), col("blocked"), col("weight"), col("tw"),
+        when(col("tw") > 0L, expr(s"(weight * $budget) div tw"))
+          .otherwise(lit(0L)).as("fl"),
+        when(col("tw") > 0L, (col("weight") * lit(budget)) % col("tw"))
+          .otherwise(lit(0L)).as("rem"))
+    val l = b.agg(
+      when(max("tw") > 0L, lit(budget) - sum("fl")).otherwise(lit(0L)).as("lo"))
+    val rk = row_number().over(org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("host").asc))
+    b.withColumn("rk", rk)
+      .crossJoin(broadcast(l))
+      .select(col("host"), col("blocked"), col("weight"),
+        (col("fl") + when(col("rk") <= col("lo"), lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("quota"))
+  }
 }

@@ -479,4 +479,35 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 2, s"expected 2 hash exchanges ((qid,pid) then pid), got $exchanges\n${p.take(1500)}")
   }
+
+  test("d25: HLL registers are a plain partial-max aggregate — no custom agg, no window, no join") {
+    val p = planOf("d25_hll_distinct")
+    assert(p.contains("partial_max"), p.take(1500)) // map-side register combine
+    assert(!p.contains("ObjectHashAggregate"), "HLL must not need a typed Aggregator\n" + p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s11: the delta assignment filter is pushed to the scan; no cartesian") {
+    val p = planOf("s11_ann_ingest")
+    // the batch boundary (vec_id >= split) must reach the parquet scan of
+    // the newly-ingested branch — the base side never recomputes assignment
+    assert(p.contains("GreaterThanOrEqual(vec_id"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("w7: allocation adds only 1-row broadcasts + the host ranking to w3's single host shuffle") {
+    val p = planOf("w7_crawl_budget")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the only hash exchange in the whole query is w3's groupBy(host) —
+    // totals/leftovers are 1-row broadcast nested loops, the remainder
+    // ranking is a single-partition sort of host scalars
+    val exchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected ≤1 hash exchange (host), got $exchanges\n${p.take(1500)}")
+  }
+
+  test("kg30: every hop is an equi-join on the current node — no cartesian anywhere") {
+    val p = planOf("kg30_walks")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }

@@ -173,4 +173,35 @@ class UrlOpsSpec extends AnyFunSuite {
       assert(u <= n && u > 0)
     }
   }
+
+  test("w7 budget allocation == driver largest-remainder replay; invariants hold") {
+    // hand frame: blocked host, zero-weight host, remainder ties
+    val hq = Seq(
+      ("a.com", 70L, 10L, false), // weight 60
+      ("b.com", 25L, 0L, false),  // weight 25
+      ("c.com", 16L, 1L, false),  // weight 15
+      ("d.com", 99L, 80L, true),  // blocked -> weight 0
+      ("e.com", 5L, 5L, false))   // weight 0 (all bad, not blocked)
+      .toDF("host", "n_docs", "n_bad", "blocked")
+    for (budget <- Seq(0L, 1L, 7L, 100L, 997L)) {
+      val got = UrlOps.w7Frame(hq, budget)
+        .as[(String, Boolean, Long, Long)].collect()
+        .map(r => r._1 -> r._4).toMap
+      // independent replay
+      val ws = Seq("a.com" -> 60L, "b.com" -> 25L, "c.com" -> 15L,
+        "d.com" -> 0L, "e.com" -> 0L)
+      val tw = ws.map(_._2).sum
+      val fl = ws.map { case (h, w) => (h, w * budget / tw, w * budget % tw) }
+      val lo = budget - fl.map(_._2).sum
+      val plusOne = fl.sortBy { case (h, _, r) => (-r, h) }.take(lo.toInt).map(_._1).toSet
+      val want = fl.map { case (h, f, _) => h -> (f + (if (plusOne(h)) 1L else 0L)) }.toMap
+      assert(got == want, s"budget=$budget: got $got want $want")
+      assert(got.values.sum == budget, s"sum must equal budget at $budget")
+      assert(got("d.com") == 0L && got("e.com") == 0L)
+    }
+    // degenerate: every host blocked -> all quotas 0, no leftovers invented
+    val allBlocked = Seq(("x.com", 5L, 5L, true)).toDF("host", "n_docs", "n_bad", "blocked")
+    assert(UrlOps.w7Frame(allBlocked, 10L)
+      .as[(String, Boolean, Long, Long)].collect().head._4 == 0L)
+  }
 }
