@@ -318,14 +318,30 @@ object Sketches {
     * branch can never split. Relative error ≈ 1.04/√m.
     */
   def d25HllDistinct(spark: SparkSession, dir: String, p: Int = 6): DataFrame = {
-    val m = 1 << p
-    val wBits = 60 - p // remaining hash window after the bucket index
-    val rhoMax = wBits + 1
-    val tokens = Relational.table(spark, dir, "documents")
+    // persist → eager checkpoint → unpersist (the d9 lifecycle): the
+    // register pass and the exact-count pass both hit the token cache, and
+    // nothing stays cached after the call (CacheHygieneSpec)
+    val tokens = d25Tokens(Relational.table(spark, dir, "documents")).persist()
+    val out = d25Plan(tokens, p).localCheckpoint(true)
+    tokens.unpersist()
+    out
+  }
+
+  /** The exploded (lang, t) token frame d25 sketches over. */
+  def d25Tokens(documents: DataFrame): DataFrame =
+    documents
       .filter(length(trim(col("text"))) > 0)
       .select(col("lang"), explode(split(trim(col("text")), TextAnalysis.WhitespaceRe)).as("t"))
       .filter(length(col("t")) > 0)
-      .persist()
+
+  /** The lazy HLL plan over a prepared token frame — the plan-pin seam
+    * (PlanShapeSpec asserts the map-side partial max here; the public
+    * entry's eager checkpoint would hide the aggregate behind an RDD scan).
+    */
+  def d25Plan(tokens: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val wBits = 60 - p // remaining hash window after the bucket index
+    val rhoMax = wBits + 1
     val h = kmvHash(col("t"))
     val w = shiftright(h, p) // h ≥ 0, so arithmetic shift == unsigned
     val rho = when(w === 0L, lit(rhoMax))
@@ -343,7 +359,6 @@ object Sketches {
         (col("s_present") + (lit(m.toLong) - col("nb")) * lit(1L << rhoMax)).as("s"),
         (lit(m.toLong) - col("nb")).as("v"))
     val exact = tokens.groupBy("lang").agg(countDistinct("t").as("n_exact"))
-    tokens.unpersist()
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     val rawEst = alpha * lit(m.toDouble * m.toDouble) *
       lit((1L << rhoMax).toDouble) / col("s").cast("double")
