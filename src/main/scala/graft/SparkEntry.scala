@@ -177,6 +177,9 @@ object SparkEntry {
     "em2_rerank" -> ((s, d) => Eval.rerank(s, d)),
     // comparative filtered retrieval (J10/F7): per-query candidate sets
     "em3_filtered_retrieval" -> ((s, d) => Eval.retrieveComparative(s, d)),
+    // precision/recall@K curve: micro-averaged so every sum is an exact
+    // integer; two IEEE divisions per K are the only floats
+    "em4_pr_curve" -> ((s, d) => Eval.prCurve(s, d)),
     // text ops
     "lid1_langid_fingerprint" -> ((s, d) => LangId.detectDocs(s, d)),
     // multimodal plumbing
@@ -1835,6 +1838,31 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc)
          |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    // em4: the oracle replays the same retrieval CTE, expands (query, k)
+    // for k = 1..10, and mirrors the integer micro sums — the two final
+    // divisions are the only floats, IEEE-identical cross-engine
+    "em4_pr_curve" ->
+      s"""${retrievalCte()},
+         |ks AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS k),
+         |pq AS (
+         |  SELECT r.query_id, r.query_label, ks.k,
+         |    CAST(sum(relevant) AS BIGINT) AS hits
+         |  FROM r JOIN ks ON r.rank <= ks.k
+         |  GROUP BY 1, 2, 3),
+         |lc AS (SELECT label AS query_label, count(*) AS n_label
+         |       FROM embeddings GROUP BY 1),
+         |pq2 AS (SELECT pq.*, lc.n_label - 1 AS n_rel
+         |        FROM pq JOIN lc USING (query_label)),
+         |g AS (
+         |  SELECT k, count(*) AS n_queries,
+         |    CAST(sum(hits) AS BIGINT) AS total_hits,
+         |    CAST(sum(n_rel) AS BIGINT) AS total_rel
+         |  FROM pq2 GROUP BY k)
+         |SELECT k, n_queries, total_hits,
+         |  CAST(total_hits AS DOUBLE) / CAST(k * n_queries AS DOUBLE) AS precision,
+         |  CASE WHEN total_rel = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(total_hits AS DOUBLE) / CAST(total_rel AS DOUBLE) END AS recall
+         |FROM g""".stripMargin,
     "em1_retrieval_metrics" ->
       s"""${retrievalCte()},
          |pq AS (

@@ -122,4 +122,42 @@ object Eval {
             log((col("best_irrel_score") + 1) / 2 / (lit(1.0) - (col("best_irrel_score") + 1) / 2 + lit(1e-9))))),
         6).as("log_odds_gap"))
   }
+
+  /** em4: precision/recall@K curve, K = 1..kMax, over the same retrieval
+    * frame em1 scores — the operating-point view a single MRR/NDCG scalar
+    * hides (you pick K for a production retriever off this curve).
+    * MICRO-averaged on purpose: precision@K = Σhits / (K·|queries|) and
+    * recall@K = Σhits / Σn_rel keep every sum an exact integer, so the only
+    * floating-point ops are two final IEEE divisions per K — deterministic
+    * under any partitioning, where the per-query macro average would sum
+    * doubles in shuffle order. The recall base n_rel = corpus same-label
+    * count − 1 (the query itself is never a candidate).
+    *
+    * Scale shape: one bounded (query, k) expansion of the ALREADY top-K
+    * retrieval scalars (≤ |queries|·kMax rows), the label-count dim and the
+    * k range ride broadcasts, and the final frame is kMax rows.
+    */
+  def prCurve(spark: SparkSession, dir: String, kMax: Int = 10,
+              queriesDf: Option[DataFrame] = None): DataFrame = {
+    val r = retrieve(spark, dir, kMax, queriesDf = queriesDf)
+    val labelCounts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .groupBy(col("label").as("query_label"))
+      .agg(count(lit(1)).as("n_label"))
+    val ks = spark.range(1, kMax + 1).select(col("id").cast("int").as("k"))
+    val perQ = r.join(broadcast(ks), col("rank") <= col("k"))
+      .groupBy("query_id", "query_label", "k")
+      .agg(sum("relevant").cast("long").as("hits"))
+      .join(broadcast(labelCounts), Seq("query_label"))
+      .withColumn("n_rel", col("n_label") - 1L)
+    perQ.groupBy("k")
+      .agg(count(lit(1)).as("n_queries"),
+        sum("hits").as("total_hits"),
+        sum("n_rel").as("total_rel"))
+      .select(col("k"), col("n_queries"), col("total_hits"),
+        (col("total_hits").cast("double") /
+          (col("k").cast("long") * col("n_queries")).cast("double")).as("precision"),
+        when(col("total_rel") === 0L, lit(1.0))
+          .otherwise(col("total_hits").cast("double") / col("total_rel").cast("double"))
+          .as("recall"))
+  }
 }

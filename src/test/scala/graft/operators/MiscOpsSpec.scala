@@ -98,6 +98,33 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(m.getAs[Double]("ndcg") == 1.0) // all relevant ranked before irrelevant
   }
 
+  test("Eval.prCurve (em4): hand-computed micro precision/recall at every k") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "prcurve-").toString
+    // label 0: vecs 0,1 identical + 2 close; label 1: vecs 10,11 identical.
+    // queries derive one per label: 0 and 10.
+    //   q0 ranking: 1 (rel), 2 (rel), 10, 11        n_rel = 2
+    //   q10 ranking: 11 (rel), 2, 0, 1              n_rel = 1
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0), (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (10L, Seq(0f, 1f, 0f, 0f), 1), (11L, Seq(0f, 1f, 0f, 0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Eval.prCurve(spark, dir)
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == (1 to 10).toSet)
+    // hits: q0 gives 1 at k=1 then 2 from k=2; q10 gives 1 at every k
+    def hits(k: Int): Long = (if (k >= 2) 2L else 1L) + 1L
+    (1 to 10).foreach { k =>
+      val h = hits(k)
+      val expect = (2L, h, h.toDouble / (k.toLong * 2L).toDouble,
+        if (k >= 2) 1.0 else 2.0 / 3.0)
+      assert(got(k) == expect, s"k=$k: got ${got(k)}, want $expect")
+    }
+  }
+
   test("Eval.retrieve with an explicit bounded query table (the broadcast contract)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "evalq-").toString
