@@ -247,6 +247,10 @@ object SparkEntry {
     // training data): seeded md5 next-hop draw, one frontier⋈edges join +
     // one per-walk window per step, ids/hashes only on the wire
     "kg30_walks" -> (KgQueries.walks _),
+    // skip-gram co-visit pairs over the walks (the node-embedding training
+    // statistic): walk_id equi-self-join of scalar rows, bounded pairs per
+    // walk, map-side-combined count
+    "kg31_walk_pairs" -> (KgQueries.walkPairs _),
     // top-50 entity pairs by lift — IEEE-double-exact association mining
     "kg17_cooccur_lift" -> (KgQueries.lift _),
     // referential-integrity QA: QID-valued statements with no target entity
@@ -555,6 +559,33 @@ object SparkEntry {
        |  CASE WHEN n_truth = 0 THEN CAST(1.0 AS DOUBLE)
        |       ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall
        |FROM g CROSS JOIN tc""".stripMargin
+  }
+
+  /** Unrolled random-walk CTEs over a materialized edge frame — the shared
+    * replay of [[graft.operators.GraphOps.randomWalks]] (walkLen 3, one
+    * walk per node): `walks(walk_id, step, node)`. Used by the kg30 walk
+    * dump and the kg31 skip-gram pairs, which therefore can never drift
+    * from each other's hop semantics.
+    */
+  private def walkCtes(frame: String): String = {
+    val hops = (1 to 3).map { i =>
+      s"""s$i AS (
+         |  SELECT walk_id, node FROM (
+         |    SELECT f.walk_id, e.dst AS node,
+         |      row_number() OVER (PARTITION BY f.walk_id ORDER BY
+         |        CAST('0x' || substring(md5(f.walk_id || '_${i}_' || e.dst), 1, 15) AS BIGINT) ASC,
+         |        e.dst ASC) AS rn
+         |    FROM s${i - 1} f JOIN e ON e.src = f.node) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to 3)
+      .map(i => s"SELECT walk_id, $i AS step, node FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"""e AS (SELECT src, dst FROM read_parquet('$OF/$frame/*.parquet')),
+       |n AS (SELECT DISTINCT src FROM e),
+       |s0 AS (SELECT src || '#0' AS walk_id, src AS node FROM n),
+       |$hops,
+       |walks AS (
+       |$union)""".stripMargin
   }
 
   /** w1/w2 oracle scaffold: rebuild the deterministic messy urls and replay
@@ -2204,25 +2235,20 @@ object SparkEntry {
     // kg30: every seeded hop replays from the materialized edge frame —
     // the same md5-derived draw (60-bit prefix parse), ties to lower dst,
     // one chained CTE per step; dead-end walks simply stop emitting
-    "kg30_walks" -> {
-      val hops = (1 to 3).map { i =>
-        s"""s$i AS (
-           |  SELECT walk_id, node FROM (
-           |    SELECT f.walk_id, e.dst AS node,
-           |      row_number() OVER (PARTITION BY f.walk_id ORDER BY
-           |        CAST('0x' || substring(md5(f.walk_id || '_${i}_' || e.dst), 1, 15) AS BIGINT) ASC,
-           |        e.dst ASC) AS rn
-           |    FROM s${i - 1} f JOIN e ON e.src = f.node) t WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val union = (0 to 3)
-        .map(i => s"SELECT walk_id, $i AS step, node FROM s$i")
-        .mkString("\nUNION ALL\n")
-      s"""WITH e AS (SELECT src, dst FROM read_parquet('$OF/kg30_edges/*.parquet')),
-         |n AS (SELECT DISTINCT src FROM e),
-         |s0 AS (SELECT src || '#0' AS walk_id, src AS node FROM n),
-         |$hops
-         |$union""".stripMargin
-    },
+    "kg30_walks" ->
+      s"""WITH ${walkCtes("kg30_edges")}
+         |SELECT walk_id, step, node FROM walks""".stripMargin,
+    // kg31: the skip-gram pair statistic over the SAME unrolled walk CTEs
+    // (from kg31's own edge frame) — within-walk forward pairs at step
+    // distance ≤ 2, unordered (least/greatest), self-pairs dropped
+    "kg31_walk_pairs" ->
+      s"""WITH ${walkCtes("kg31_edges")},
+         |p AS (
+         |  SELECT least(x.node, y.node) AS a, greatest(x.node, y.node) AS b
+         |  FROM walks x JOIN walks y
+         |    ON x.walk_id = y.walk_id AND y.step > x.step
+         |    AND y.step - x.step <= 2 AND x.node != y.node)
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY a, b""".stripMargin,
     "kg26_communities" -> lpaSql(rounds = 4),
     "kg27_kcore" -> kcoreSql(k = 3, rounds = 3),
     // kg19: snapshot consolidation replayed from the materialized

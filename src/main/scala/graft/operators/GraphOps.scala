@@ -419,4 +419,29 @@ object GraphOps {
     }
     levels.result().reduce(_ unionByName _).select("walk_id", "step", "node")
   }
+
+  /** kg31: skip-gram co-visit pairs over a walk corpus — the statistic
+    * node-embedding training actually consumes (word2vec over walks =
+    * DeepWalk): for every walk, each forward pair of nodes within
+    * `window` steps counts once, unordered (least/greatest), self-revisits
+    * dropped. Returns (a, b, n).
+    *
+    * Scale shape: the pairing is a walk_id equi-self-join of SCALAR
+    * (walk_id, step, node) rows — per walk it expands to at most
+    * walkLen·window pairs, a constant, so the shuffle carries
+    * O(|walks|) id/step rows and the count groupBy gets map-side partials.
+    * Callers should pass an eagerly-materialized walk frame (the KgQueries
+    * wrapper checkpoints) so the self-join's two sides don't re-run the
+    * walk front-end.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    val x = walks.select(col("walk_id"), col("step").as("si"), col("node").as("na"))
+    val y = walks.select(col("walk_id"), col("step").as("sj"), col("node").as("nb"))
+    x.join(y, Seq("walk_id"))
+      .filter(col("sj") > col("si") && col("sj") - col("si") <= window &&
+        col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+  }
 }

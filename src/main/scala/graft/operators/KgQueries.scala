@@ -298,6 +298,17 @@ object KgQueries {
     GraphOps.randomWalks(edges, walkLen = 3)
   }
 
+  /** kg31: skip-gram co-visit pairs over the kg30 walks (its own edge
+    * frame so the two oracles replay independently). The walk frame is
+    * eagerly checkpointed before the self-join — otherwise both join sides
+    * would re-run the mention front-end and every hop.
+    */
+  def walkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = hubGraph(spark, dir, "kg31_edges", cost = None)
+    GraphOps.skipGramPairs(
+      GraphOps.randomWalks(edges, walkLen = 3).localCheckpoint(true))
+  }
+
   /** Shared kg16/kg25 traversal setup: the symmetrized co-occurrence edge
     * frame (optionally cost-weighted), materialized for the oracle under
     * `frameName`, plus the top-3 out-degree hub seeds (ties by id). One

@@ -366,5 +366,20 @@ class GraphOpsSpec extends AnyFunSuite {
     // the dead end is real: some walk must be shorter than walkLen+1
     val lens = got.groupBy(_._1).view.mapValues(_.size).toMap
     assert(lens.values.exists(_ < 4), s"no walk hit the dead end: $lens")
+
+    // kg31: skip-gram pairs over the SAME walks == independent pair replay
+    // (forward pairs within 2 steps, unordered, self-revisits dropped)
+    val gotPairs = GraphOps.skipGramPairs(GraphOps.randomWalks(edges, walkLen = 3))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val wantPairs = want.toSeq.groupBy(_._1).values.flatMap { rows =>
+      val byStep = rows.map(r => r._2 -> r._3).toMap
+      for {
+        i <- byStep.keys.toSeq; j <- byStep.keys.toSeq
+        if j > i && j - i <= 2 && byStep(i) != byStep(j)
+      } yield (Seq(byStep(i), byStep(j)).min, Seq(byStep(i), byStep(j)).max)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(gotPairs == wantPairs, s"got $gotPairs, want $wantPairs")
+    assert(gotPairs.nonEmpty)
   }
 }
