@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Round-6 plan capture: writes `.explain("formatted")` for every query the
+  * optimization round touched to plans/r06/<name>_<tag>.txt (default tag
+  * "after"; the committed *_before.txt files were produced by the same main
+  * run against the pre-round code). For entries whose result is eagerly
+  * checkpointed (the persist-lifecycle pattern hides the real plan behind a
+  * Scan ExistingRDD), the meaningful inner seam plan is dumped instead,
+  * built over UN-persisted inputs exactly as the entry builds them.
+  */
+object PlanDumpR06 {
+  def main(args: Array[String]): Unit = {
+    val tag = args.headOption.getOrElse("after")
+    val dir = "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def dump(name: String, df: DataFrame): Unit = {
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"plans/r06/${name}_$tag.txt"), p)
+      println(s"dumped $name")
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def wordsCol(text: Column): Column =
+      when(length(trim(text)) === 0, typedLit(Seq.empty[String]))
+        .otherwise(split(trim(text), "[ \t\n\f\r]+"))
+
+    // entry plans (not checkpointed — the full query plan is visible)
+    Seq("d12_decontaminate", "d20_winnow_fingerprints", "s8_ann_pq",
+      "s9_ann_ivfpq", "s10_ann_recall_audit", "kg30_walks", "kg31_walk_pairs")
+      .foreach(n => dump(n, SparkEntry.queries(n)(spark, dir)))
+
+    // checkpointed entries: dump the inner seam the entry materializes,
+    // over the same staged inputs the entry persists
+    val grams16 = docs
+      .select(col("doc_id"),
+        graft.functions.TextKernels.gramStrings(wordsCol(col("text")), 2).as("gs"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+    val counts16 = grams16.groupBy("g").agg(count(lit(1)).as("c"))
+    dump("d16_perplexity_filter",
+      graft.operators.TextAnalysis.d16Plan(docs, grams16, counts16, 8.0))
+
+    val staged18 = docs.select(col("doc_id"),
+      graft.functions.TextKernels.gramHashes(wordsCol(col("text")), 3).as("hs"))
+    dump("d18_dup_spans",
+      graft.operators.TextAnalysis.d18Plan(docs, staged18, 0.5))
+    dump("d21_dup_span_removal",
+      graft.operators.TextAnalysis.d21Plan(docs, staged18, 3))
+
+    // the kg30 walk-hop seam (the walk loop materializes each frontier, so
+    // the entry plan above shows only the union of materialized levels;
+    // this is the per-hop plan the GraphOpsSpec pin also asserts on)
+    if (tag == "after") {
+      val edges = spark.range(4).select(
+        concat(lit("Q"), col("id")).as("src"),
+        concat(lit("Q"), (col("id") + 1) % 4).as("dst"))
+      val adj = edges.groupBy(col("src"))
+        .agg(sort_array(collect_set(col("dst"))).as("adj"))
+      val frontier = edges.select(col("src")).distinct()
+        .select(concat_ws("#", col("src"), lit("0")).as("walk_id"),
+          col("src").as("node"))
+      dump("kg30_walk_hop",
+        graft.operators.GraphOps.walkHopForPlanDump(frontier, adj, 1))
+    }
+
+    spark.stop()
+  }
+}

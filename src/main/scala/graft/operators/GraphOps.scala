@@ -388,37 +388,77 @@ object GraphOps {
     * recipe), with ties to the lower id. A dead-end node simply ends its
     * walk. Returns (walk_id, step, node), steps 0..walkLen.
     *
-    * Scale shape: each step is ONE equi-join of the frontier against edges
-    * on the current node (the key a real deployment buckets edges by) plus
-    * one per-walk window over (hash, dst) scalars — per step the shuffle
-    * carries Σ deg(frontier) id/hash rows, never vectors or payloads, and
-    * the frontier never exceeds the walk count. walkLen is a small constant
-    * (the unrolled-plan contract the oracle replays as chained CTEs), so
-    * lineage stays bounded without checkpoints.
+    * Scale shape (the round-5 verdict's adjacency-array form): the
+    * maxDegree-guarded (node, sorted-neighbor-array) frame is built ONCE
+    * (one shuffle of id scalars) and persisted; each step is then one
+    * equi-join of the frontier against it (the key a real deployment
+    * buckets edges by) plus an IN-ROW seeded argmin over the adjacency
+    * array ([[graft.functions.MinHashPick]], bit-identical to the previous
+    * per-walk `(hash asc, dst asc)` window draw — KernelEquivalenceSpec
+    * pins the equality). Nothing expands: the round-5 hop shuffled
+    * Σ deg(frontier) rows per step (a hub's FULL adjacency once per
+    * visiting walk, every step) and sorted them in a per-walk window; this
+    * hop moves one row per live walk and no window exists. Each frontier
+    * is eagerly materialized (the [[graft.tables.Checkpoints]] contract —
+    * pass `checkpointDir` for reliable checkpoints on a real cluster), so
+    * level i's plan no longer embeds levels 0..i−1 and DeepWalk-scale
+    * walkLen (40–80) keeps bounded lineage; the materialized levels also
+    * make the final union read each level once instead of recomputing the
+    * whole prefix per level.
     */
   def randomWalks(edges: DataFrame, walkLen: Int,
-                  walksPerNode: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val starts = edges.select(col("src")).distinct()
-      .select(col("src"),
-        explode(array((0 until walksPerNode).map(w => lit(w.toString)): _*)).as("w"))
-      .select(concat_ws("#", col("src"), col("w")).as("walk_id"),
-        col("src").as("node"))
-    var frontier = starts
-    val levels = Seq.newBuilder[DataFrame]
-    levels += starts.withColumn("step", lit(0))
-    for (i <- 1 to walkLen) {
-      val h = Sketches.kmvHash(
-        concat_ws("_", col("walk_id"), lit(i.toString), col("dst")))
-      val w = Window.partitionBy("walk_id").orderBy(col("_h").asc, col("dst").asc)
-      frontier = frontier.join(edges, frontier("node") === edges("src"))
-        .select(col("walk_id"), col("dst"), h.as("_h"))
-        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(col("walk_id"), col("dst").as("node"))
-      levels += frontier.withColumn("step", lit(i))
+                  walksPerNode: Int = 1,
+                  checkpointDir: Option[String] = None,
+                  maxDegree: Int = 1000000): DataFrame =
+    graft.tables.Checkpoints.withDir(edges.sparkSession, checkpointDir) { materialize =>
+      // one adjacency array per node, neighbors sorted ascending so the
+      // kernel's first-minimum tie-break equals the window's (hash, dst)
+      // order; degree-bounded loudly (the cooccurEdges guard discipline:
+      // a 10⁶-neighbor hub row is ~20 MB — beyond maxDegree the caller
+      // must pre-slice its hubs, not silently build gigarows)
+      val adj = edges
+        .groupBy(col("src"))
+        .agg(sort_array(collect_set(col("dst"))).as("_adj"))
+        .select(col("src"),
+          when(size(col("_adj")) <= maxDegree, col("_adj"))
+            .otherwise(raise_error(concat(
+              lit(s"randomWalks: node degree exceeds maxDegree=$maxDegree at '"),
+              col("src"), lit("'")))).as("adj"))
+        .persist()
+      val starts = adj.select(col("src"))
+        .select(col("src"),
+          explode(array((0 until walksPerNode).map(w => lit(w.toString)): _*)).as("w"))
+        .select(concat_ws("#", col("src"), col("w")).as("walk_id"),
+          col("src").as("node"))
+      var frontier = materialize(starts)
+      val levels = Seq.newBuilder[DataFrame]
+      levels += frontier.withColumn("step", lit(0))
+      for (i <- 1 to walkLen) {
+        frontier = materialize(walkHop(frontier, adj, i))
+        levels += frontier.withColumn("step", lit(i))
+      }
+      val out = levels.result().reduce(_ unionByName _)
+        .select("walk_id", "step", "node")
+      adj.unpersist()
+      out
     }
-    levels.result().reduce(_ unionByName _).select("walk_id", "step", "node")
-  }
+
+  /** One walk step over the adjacency frame — the seam the plan pin
+    * inspects (the loop materializes each frontier, which hides the hop
+    * plan behind a Scan ExistingRDD): equi-join on the current node + the
+    * in-row [[graft.functions.MinHashPick]] argmin. No Window, no
+    * row_number, no per-edge row expansion.
+    */
+  /** [[walkHop]] for the round-6 plan-capture main (package-private seam). */
+  def walkHopForPlanDump(frontier: DataFrame, adj: DataFrame,
+                         step: Int): DataFrame = walkHop(frontier, adj, step)
+
+  private[operators] def walkHop(frontier: DataFrame, adj: DataFrame,
+                                 step: Int): DataFrame =
+    frontier.join(adj, frontier("node") === adj("src"))
+      .select(col("walk_id"),
+        graft.functions.TextKernels.minHashPick(
+          col("adj"), concat(col("walk_id"), lit(s"_${step}_"))).as("node"))
 
   /** kg31: skip-gram co-visit pairs over a walk corpus — the statistic
     * node-embedding training actually consumes (word2vec over walks =

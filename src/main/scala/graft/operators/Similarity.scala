@@ -420,20 +420,17 @@ object Similarity {
       cb.collect().foreach(r => a(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
       a
     }
-    def subCol(s: Int) = slice(col("q"), s * dsub + 1, dsub)
-    // in-row encode: m argmins against codebook literals — zero shuffle;
-    // array_position(min) keeps the FIRST minimum, so ties go to the lower
-    // code exactly as in training and in the oracle's (d, code) sort
-    val codesCol = array((0 until m).map { s =>
-      val dists = array((0 until ksub).map(c => l2sqLit(subCol(s), cbArr(s)(c))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
+    // in-row encode: m argmins against the codebook — zero shuffle; the
+    // PqCodes kernel keeps the FIRST minimum (strict <), exactly the
+    // literal-tree form's array_position(array_min) tie rule and the
+    // oracle's (d, code) sort (the ~4000-node m·ksub·dsub literal tree cost
+    // seconds of analysis per plan and ~2 MB of task binary — see
+    // graft.functions.PqKernels)
+    val codesCol = graft.functions.PqKernels.pqCodes(col("q"), cbArr, dsub)
     val enc = e.select(col("vec_id"), codesCol.as("codes"))
     // query-side ADC lookup table: lut[s][c] = L2²(q_sub s, centroid c),
     // computed once per query on the broadcast side
-    val lutCol = array((0 until m).map { s =>
-      array((0 until ksub).map(c => l2sqLit(subCol(s), cbArr(s)(c))): _*)
-    }: _*)
+    val lutCol = graft.functions.PqKernels.pqLut(col("q"), cbArr, dsub)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), lutCol.as("lut"))
     val ad = aggregate(
@@ -476,12 +473,13 @@ object Similarity {
     val coarse: Array[Array[Long]] = e.filter(col("vec_id") < nCells)
       .as[(Long, Seq[Long])].collect().sortBy(_._1).map(_._2.toArray)
     require(coarse.length == nCells, s"corpus has fewer than $nCells seed vectors")
-    val coarseLit = array(coarse.map(cv => array(cv.map(lit): _*)): _*)
-    def cellDists(qcol: Column) = array(coarse.map(cv => l2sqLit(qcol, cv)): _*)
+    // coarse distances / residuals via the PqKernels loops (bit-identical
+    // to the nested-literal zip_with forms — see graft.functions.PqKernels)
+    def cellDists(qcol: Column) = graft.functions.PqKernels.l2Dists(qcol, coarse)
     val cellCol = (array_position(cellDists(col("q")), array_min(cellDists(col("q")))) - 1)
       .cast("int")
     val residOfCell = (q: Column, cell: Column) =>
-      zip_with(q, element_at(coarseLit, cell + 1), (x, y) => x - y)
+      graft.functions.PqKernels.subCentroid(q, cell, coarse)
     val withCell = e.withColumn("cell", cellCol)
       .withColumn("r", residOfCell(col("q"), col("cell")))
     val cb = OracleFrames.materialize(
@@ -493,18 +491,12 @@ object Similarity {
       cb.collect().foreach(r => a(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
       a
     }
-    def subCol(c: Column, s: Int) = slice(c, s * dsub + 1, dsub)
-    val codesCol = array((0 until m).map { s =>
-      val dists = array((0 until ksub).map(cc => l2sqLit(subCol(col("r"), s), cbArr(s)(cc))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
+    val codesCol = graft.functions.PqKernels.pqCodes(col("r"), cbArr, dsub)
     val enc = withCell.select(col("vec_id"), col("cell"), codesCol.as("codes"))
     // query side (bounded): nProbe nearest cells each, residual + LUT per
     // probed cell — m·ksub·nProbe bigints per query on the broadcast side
     val wp = Window.partitionBy("query_id").orderBy(asc("cd"), asc("cell"))
-    val lutCol = array((0 until m).map { s =>
-      array((0 until ksub).map(cc => l2sqLit(subCol(col("qr"), s), cbArr(s)(cc))): _*)
-    }: _*)
+    val lutCol = graft.functions.PqKernels.pqLut(col("qr"), cbArr, dsub)
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q"),
         posexplode(cellDists(col("q"))).as(Seq("cell", "cd")))

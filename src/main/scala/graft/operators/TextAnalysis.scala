@@ -231,7 +231,7 @@ object TextAnalysis {
       .select(col("doc_id"), wordsCol(col("text")).as("w"))
       .select(
         col("doc_id"),
-        array_distinct(gramsCol(col("w"), n)).as("grams"))
+        array_distinct(graft.functions.TextKernels.gramStrings(col("w"), n)).as("grams"))
     // explode_OUTER on purpose: a plain explode makes the optimizer infer
     // `size(grams) > 0 AND isnotnull(grams)` and push both below the gram
     // projection with the full split/transform kernel SUBSTITUTED — the
@@ -326,37 +326,38 @@ object TextAnalysis {
                   flagAt: Double = 0.5): DataFrame =
     d18Frame(docs(spark, dir), flagAt)
 
-  /** [[d18DupSpans]] over any (doc_id, text) frame: positions are built
-    * once (persisted — they feed the df rollup AND the join back), scored,
-    * materialized.
+  /** [[d18DupSpans]] over any (doc_id, text) frame: the per-doc hashed-gram
+    * ARRAY is built once by the [[graft.functions.GramHash60]] kernel and
+    * persisted — it feeds the df rollup AND the join back. Persisting the
+    * array form (one row per doc) instead of the exploded positions keeps
+    * the cache N× smaller and lets the df rollup dedup in-row (below).
     */
   def d18Frame(documents: DataFrame, flagAt: Double): DataFrame = {
-    val pos = documents
-      .select(col("doc_id"), gramsCol(wordsCol(col("text")), 3).as("gs"))
-      // explode_outer + null filter: the d12 lesson (plain explode pushes
-      // inferred predicates below the projection with the split kernel
-      // substituted into the scan filter)
-      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
-      .filter(col("g").isNotNull)
-      .select(col("doc_id"), Sketches.kmvHash(col("g")).as("gh"))
+    val staged = documents
+      .select(col("doc_id"),
+        graft.functions.TextKernels.gramHashes(wordsCol(col("text")), 3).as("hs"))
       .persist()
-    val out = d18Plan(documents, pos, flagAt).localCheckpoint(true)
-    pos.unpersist()
+    val out = d18Plan(documents, staged, flagAt).localCheckpoint(true)
+    staged.unpersist()
     out
   }
 
-  /** The df/join/score plan over a (pre-persisted) position frame — the
-    * seam the plan-shape spec inspects (the entry's eager checkpoint hides
-    * it).
+  /** The df/join/score plan over a (pre-persisted) (doc_id, hs) hashed-gram
+    * frame — the seam the plan-shape spec inspects (the entry's eager
+    * checkpoint hides it).
     */
-  def d18Plan(documents: DataFrame, pos: DataFrame,
+  def d18Plan(documents: DataFrame, staged: DataFrame,
               flagAt: Double): DataFrame = {
-    // distinct (doc, gram) pairs first (map-side combinable), then a plain
-    // count per gram — never count(DISTINCT) with its expand explosion
-    val dupDict = pos.distinct()
+    // per-doc dedup happens IN-ROW (array_distinct) before the explode, so
+    // the df rollup is one map-side-combinable count of 8-byte hashes — the
+    // round-5 form paid a full (doc_id, gh) distinct shuffle first; and
+    // never count(DISTINCT) with its expand explosion
+    val dupDict = staged
+      .select(explode(array_distinct(col("hs"))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("df_docs"))
       .filter(col("df_docs") >= 2)
-    val perDoc = pos
+    val perDoc = staged
+      .select(col("doc_id"), explode(col("hs")).as("gh"))
       .join(dupDict, Seq("gh"), "left")
       .groupBy("doc_id")
       .agg(
@@ -395,35 +396,36 @@ object TextAnalysis {
                         k: Int = 3): DataFrame =
     d21Frame(docs(spark, dir), k)
 
-  /** [[d21DupSpanRemoval]] over any (doc_id, text) frame. */
+  /** [[d21DupSpanRemoval]] over any (doc_id, text) frame: the hashed-gram
+    * array is built once by the [[graft.functions.GramHash60]] kernel and
+    * persisted (the d18Frame discipline — it feeds the df rollup AND the
+    * covered-position rollup).
+    */
   def d21Frame(documents: DataFrame, k: Int): DataFrame = {
     val staged = documents.select(
       col("doc_id"),
-      transform(gramsCol(wordsCol(col("text")), k),
-        g => Sketches.kmvHash(g)).as("hs"))
-    // gram positions carry their 1-based index (posexplode_outer + null
-    // filter: the d12 lesson); persisted — feeds the df rollup AND the
-    // covered-position rollup
-    val pos = staged
-      .select(col("doc_id"), posexplode_outer(col("hs")).as(Seq("i0", "gh")))
-      .filter(col("gh").isNotNull)
-      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("gh"))
+      graft.functions.TextKernels.gramHashes(wordsCol(col("text")), k).as("hs"))
       .persist()
-    val out = d21Plan(documents, pos, k).localCheckpoint(true)
-    pos.unpersist()
+    val out = d21Plan(documents, staged, k).localCheckpoint(true)
+    staged.unpersist()
     out
   }
 
-  /** The df/covered/surgery plan over a (pre-persisted) position frame —
-    * the seam the plan-shape spec inspects.
+  /** The df/covered/surgery plan over a (pre-persisted) (doc_id, hs)
+    * hashed-gram frame — the seam the plan-shape spec inspects.
     */
-  def d21Plan(documents: DataFrame, pos: DataFrame, k: Int): DataFrame = {
-    // same dictionary discipline as d18Plan: distinct pairs, plain count
-    val dupDict = pos.select("doc_id", "gh").distinct()
+  def d21Plan(documents: DataFrame, staged: DataFrame, k: Int): DataFrame = {
+    // same dictionary discipline as d18Plan: in-row per-doc dedup, one
+    // map-side-combinable count of 8-byte hashes, pruned to df >= 2
+    val dupDict = staged
+      .select(explode(array_distinct(col("hs"))).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("df_docs"))
       .filter(col("df_docs") >= 2).select("gh")
     // a dup gram starting at i covers word positions i .. i+k-1
-    val covered = pos.join(dupDict, Seq("gh"))
+    val covered = staged
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("i0", "gh")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("gh"))
+      .join(dupDict, Seq("gh"))
       .groupBy("doc_id")
       .agg(collect_list(array((0 until k).map(d => col("i") + lit(d.toLong)): _*))
         .as("_c"))
@@ -435,8 +437,10 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
-        filter(col("w"), (_, i) =>
-          !array_contains(col("cov"), (i + 1).cast("long"))).as("_kept"))
+        // per-row cost O(n_words + n_cov·log n_cov) — the round-5 form's
+        // filter(array_contains) rescanned cov once per word (quadratic on
+        // long fully-covered docs); bit-identical output (kernel doc)
+        graft.functions.TextKernels.removeCovered(col("w"), col("cov")).as("_kept"))
       .select(
         col("doc_id"), col("n_words"),
         (col("n_words") - size(col("_kept")).cast("long")).as("n_removed"),
@@ -470,7 +474,8 @@ object TextAnalysis {
   def d22Frame(documents: DataFrame, n: Int, mBits: Int): DataFrame = {
     val grams = documents
       .select(col("doc_id"), wordsCol(col("text")).as("w"))
-      .select(col("doc_id"), array_distinct(gramsCol(col("w"), n)).as("grams"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextKernels.gramStrings(col("w"), n)).as("grams"))
     // k=3 positions = three independent 16-bit nibble slices of one md5,
     // reduced mod mBits — no multiply that could overflow an engine that
     // errors on BIGINT wrap (DuckDB), no seed plumbing
@@ -627,33 +632,20 @@ object TextAnalysis {
                 k: Int = 3, w: Int = 4): DataFrame =
     d20Frame(docs(spark, dir), k, w)
 
-  /** [[d20Winnow]] over any (doc_id, text) frame. */
-  def d20Frame(documents: DataFrame, k: Int, w: Int): DataFrame = {
-    // stage `hs` through its own projection (the d12 lesson: the hash
-    // kernel is non-cheap and multiply-referenced below)
-    val staged = documents.select(
-      col("doc_id"),
-      transform(gramsCol(wordsCol(col("text")), k),
-        g => Sketches.kmvHash(g)).as("hs"))
-    val n = size(col("hs"))
-    // gram-less docs take the empty-starts branch (sequence(1, 0) would
-    // count DOWN — the gramsCol guard) and vanish at the explode
-    val starts = when(n === 0, typedLit(Seq.empty[Int]))
-      .otherwise(sequence(lit(1), greatest(n - lit(w - 1), lit(1))))
-    val sel = array_distinct(transform(starts, i => {
-      val sl = slice(col("hs"), i, lit(w))
-      val mn = array_min(sl)
-      // first position of the window minimum: deterministic tie-break
-      (i - 1) + array_min(filter(sequence(lit(1), size(sl)),
-        kk => element_at(sl, kk) === mn))
-    }))
-    staged
+  /** [[d20Winnow]] over any (doc_id, text) frame: gram hashing and the
+    * sliding-window argmin selection both run in single-pass primitive
+    * loops ([[graft.functions.GramHash60]] + [[graft.functions.WinnowFp]])
+    * — bit-identical to the portable slice/array_min/filter form they
+    * replace (KernelEquivalenceSpec), which paid ~w interpreted lambda
+    * dispatches and two array allocations PER WINDOW per row. Still one
+    * narrow projection + Generate, zero shuffles (plan-pinned).
+    */
+  def d20Frame(documents: DataFrame, k: Int, w: Int): DataFrame =
+    documents
       .select(col("doc_id"),
-        explode(transform(sel, p =>
-          struct(p.cast("long").as("pos"),
-            element_at(col("hs"), p).as("fp")))).as("s"))
+        explode(graft.functions.TextKernels.winnowFingerprints(
+          graft.functions.TextKernels.gramHashes(wordsCol(col("text")), k), w)).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
-  }
 
   /** d16: CCNet-style LM quality filter with a deterministic in-corpus
     * bigram LM stand-in (CCNet scores documents with a pretrained Kneser-Ney
@@ -684,7 +676,10 @@ object TextAnalysis {
     */
   def d16Frame(documents: DataFrame, keepBelow: Double): DataFrame = {
     val grams = documents
-      .select(col("doc_id"), gramsCol(wordsCol(col("text")), 2).as("gs"))
+      // single-pass gram kernel (one node — replaces the per-element
+      // interpreted concat_ws transform; bit-identical, see GramStrings)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.gramStrings(wordsCol(col("text")), 2).as("gs"))
       // explode_outer + null filter: the d12 lesson
       .select(col("doc_id"), explode_outer(col("gs")).as("g"))
       .filter(col("g").isNotNull)

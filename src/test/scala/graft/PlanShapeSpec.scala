@@ -333,13 +333,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("d21: covered positions fold to one array; all joins equi, no Expand") {
-    // pin the d21Plan seam over a tiny pre-hashed position frame
+    // pin the d21Plan seam over a tiny pre-hashed gram-array frame
     val spark2 = spark
     import spark2.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
-    val pos = Seq((1L, 1L, 11L), (1L, 2L, 12L), (2L, 1L, 11L))
-      .toDF("doc_id", "i", "gh")
-    val p = graft.operators.TextAnalysis.d21Plan(docs, pos, k = 3)
+    val staged = Seq((1L, Seq(11L, 12L)), (2L, Seq(11L)))
+      .toDF("doc_id", "hs")
+    val p = graft.operators.TextAnalysis.d21Plan(docs, staged, k = 3)
       .queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Expand"), p.take(1500))
@@ -379,12 +379,14 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("d18: df rollup has no count-distinct Expand; join back is an equi-join on the hash") {
-    // pin the d18Plan seam over a tiny pre-hashed position frame
+    // pin the d18Plan seam over a tiny pre-hashed gram-array frame; the df
+    // rollup's per-doc dedup is the IN-ROW array_distinct (round 6) — the
+    // no-Expand assertion still guards the count(DISTINCT) regression
     val spark2 = spark
     import spark2.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
-    val pos = Seq((1L, 11L), (1L, 12L), (2L, 11L)).toDF("doc_id", "gh")
-    val p = graft.operators.TextAnalysis.d18Plan(docs, pos, flagAt = 0.5)
+    val staged = Seq((1L, Seq(11L, 12L)), (2L, Seq(11L))).toDF("doc_id", "hs")
+    val p = graft.operators.TextAnalysis.d18Plan(docs, staged, flagAt = 0.5)
       .queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Expand"),
