@@ -29,6 +29,24 @@ object BenchExtra {
     val wanted = if (args.nonEmpty) args.toSeq else Seq.empty
     require(wanted.nonEmpty, "pass query names (optionally noop:<name>)")
 
+    // optional per-stage profile (SPARK_GRAFT_BENCH_PROFILE=1): top stages
+    // by wall duration with their job description — guide §1's "where does
+    // the time go" empirical loop without the (disabled) UI
+    val profile = sys.env.get("SPARK_GRAFT_BENCH_PROFILE").contains("1")
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Long, Long)]()
+    if (profile) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val dur = (for {s <- i.submissionTime; e <- i.completionTime}
+            yield (e - s) / 1e3).getOrElse(-1.0)
+          stages.add((s"stage ${i.stageId} [${i.name.takeWhile(_ != '\n')}]",
+            dur, i.taskMetrics.shuffleReadMetrics.totalBytesRead,
+            i.taskMetrics.shuffleWriteMetrics.bytesWritten))
+        }
+      })
+
     def timeOnce(name: String): Double = {
       val noop = name.startsWith("noop:")
       val q = name.stripPrefix("noop:")
@@ -45,6 +63,7 @@ object BenchExtra {
     }
 
     wanted.foreach { n => timeOnce(n); spark.catalog.clearCache() }
+    stages.clear()
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (_ <- 0 until rounds; n <- wanted) {
       val t = timeOnce(n)
@@ -52,6 +71,12 @@ object BenchExtra {
       best(n) = best.get(n).filter(_ >= 0).map(math.min(_, t)).getOrElse(t)
     }
     best.foreach { case (n, t) => println(f"[benchextra] $n%-40s ${t}%.3f s") }
+    if (profile) {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2).take(40).foreach { case (n, d, sr, sw) =>
+        println(f"[stage] $d%8.3f s  read=${sr / 1024}%8d KiB write=${sw / 1024}%8d KiB  $n")
+      }
+    }
     spark.stop()
   }
 }

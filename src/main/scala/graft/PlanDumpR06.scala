@@ -35,9 +35,13 @@ object PlanDumpR06 {
       when(length(trim(text)) === 0, typedLit(Seq.empty[String]))
         .otherwise(split(trim(text), "[ \t\n\f\r]+"))
 
-    // entry plans (not checkpointed — the full query plan is visible)
+    // entry plans (not checkpointed — the full query plan is visible);
+    // w4 entry is visible too; kw1's entry is eagerly checkpointed since
+    // round 6, so its after-plan is the searchIndexed seam PlanShapeSpec
+    // pins — the before file holds the old full entry plan
     Seq("d12_decontaminate", "d20_winnow_fingerprints", "s8_ann_pq",
-      "s9_ann_ivfpq", "s10_ann_recall_audit", "kg30_walks", "kg31_walk_pairs")
+      "s9_ann_ivfpq", "s10_ann_recall_audit", "kg30_walks", "kg31_walk_pairs",
+      "w4_host_boilerplate", "kw1_keyword_search")
       .foreach(n => dump(n, SparkEntry.queries(n)(spark, dir)))
 
     // checkpointed entries: dump the inner seam the entry materializes,

@@ -107,7 +107,12 @@ object GraphOps {
           .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
           .select(col("dst").as("id"), expr("rank div od").as("c"))
           .groupBy("id").agg(sum(col("c")).as("sc"))
-        ranks = nodes
+        // left-join the PREVIOUS rank frame, not `nodes`: the id sets are
+        // identical by construction (every round emits every node), and
+        // within a checkpoint block the previous round's join output is
+        // already hash-partitioned by id — joining `nodes` instead paid one
+        // extra Exchange of the node set per round (round-6 measurement)
+        ranks = ranks.select(col("id"))
           .join(contribs, Seq("id"), "left")
           .select(col("id"),
             (lit(base) + expr("(coalesce(sc, 0L) * 85) div 100")).as("rank"))

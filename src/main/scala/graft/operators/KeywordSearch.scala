@@ -23,14 +23,21 @@ object KeywordSearch {
   private val k1 = 1.2
   private val b = 0.75
 
-  /** (postings, stats): postings(doc_id, term, tf, dl), one row per distinct
-    * (doc, term); stats(term, df, idf) with N docs folded into idf.
+  /** (postings, stats, avgdl, release): postings(doc_id, term, tf, dl), one
+    * row per distinct (doc, term); stats(term, df, idf) with N docs folded
+    * into idf. The term stream and the raw per-(doc, term) aggregate are
+    * persisted — terms feed the tf aggregate AND the doc-length rollup AND
+    * the avgdl constant, the raw aggregate feeds the tf join side AND the
+    * df rollup, so without the caches the explode executed three times and
+    * the aggregate twice per build (round-6). `release()` drops both
+    * caches; call it once everything derived is materialized.
     */
-  def buildIndex(spark: SparkSession, docs: DataFrame): (DataFrame, DataFrame, Double) = {
+  def buildIndex(spark: SparkSession, docs: DataFrame): (DataFrame, DataFrame, Double, () => Unit) = {
     val terms = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\W+")).as("term"))
       .filter(length(col("term")) > 0)
-    val postings = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val postings = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist()
     val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val withLen = postings.join(docLen, Seq("doc_id"))
     // one driver action for both corpus constants (N and avgdl)
@@ -40,7 +47,7 @@ object KeywordSearch {
     val avgdl = consts.getDouble(1)
     val stats = postings.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-    (withLen, stats, avgdl)
+    (withLen, stats, avgdl, () => { terms.unpersist(); postings.unpersist() })
   }
 
   /** A built, reusable index: postings/stats persisted so every subsequent
@@ -56,10 +63,16 @@ object KeywordSearch {
     def unpersist(): Unit = { postings.unpersist(); stats.unpersist() }
   }
 
-  /** Build once, query many times. */
+  /** Build once, query many times: the serving frames are persisted AND
+    * materialized up front, so the build-side caches can be released here
+    * rather than leaking for the index's lifetime.
+    */
   def index(spark: SparkSession, docs: DataFrame): Index = {
-    val (postings, stats, avgdl) = buildIndex(spark, docs)
-    new Index(postings.persist(), stats.persist(), avgdl)
+    val (postings, stats, avgdl, release) = buildIndex(spark, docs)
+    val idx = new Index(postings.persist(), stats.persist(), avgdl)
+    idx.postings.count(); idx.stats.count()
+    release()
+    idx
   }
 
   private def searchIndexed(spark: SparkSession, idx: Index,
@@ -83,11 +96,20 @@ object KeywordSearch {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Match-or BM25 top-K for a set of queries (query_id, query_text). */
+  /** Match-or BM25 top-K for a set of queries (query_id, query_text).
+    * The one-shot path persists the postings for the call and releases them
+    * after the (small) result materializes — without the cache the terms
+    * explode and the postings aggregate each executed twice (the tf join
+    * side AND the df rollup read postings; round-6). Same per-call
+    * lifecycle rule as Dedup.minhashLsh.
+    */
   def search(spark: SparkSession, docs: DataFrame, queries: Seq[(Long, String)],
              k: Int = 10): DataFrame = {
-    val (postings, stats, avgdl) = buildIndex(spark, docs)
-    searchIndexed(spark, new Index(postings, stats, avgdl), queries, k)
+    val (postings, stats, avgdl, release) = buildIndex(spark, docs)
+    val out = searchIndexed(spark, new Index(postings, stats, avgdl), queries, k)
+      .localCheckpoint(eager = true)
+    release()
+    out
   }
 
   /** queries() entry: deterministic query set over the documents table. */

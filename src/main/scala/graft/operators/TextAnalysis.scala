@@ -552,13 +552,16 @@ object TextAnalysis {
     * take the top `nMerges` trained merge rules and tokenize every document
     * with them, reporting per-doc token counts and the compression the
     * tokenizer actually buys. Merge semantics (defined, deterministic, and
-    * identical in both engines): rules apply in rank order; one rule merges
-    * ALL disjoint adjacent occurrences greedily left-to-right (its
-    * fixpoint — a merged token is multi-char and can never re-match a
-    * single-char pair rule, so the fixpoint is reached after exactly two
-    * non-overlapping string-replace passes: pass one can only miss a pair
-    * whose LEADING boundary the previous match consumed, and such misses
-    * are never adjacent). Words render as -delimited token strings
+    * identical in both engines): rules apply in rank order; one rule's
+    * effect is the TWO-PASS NON-OVERLAPPING `replace` FIXPOINT — pass one
+    * replaces left-to-right non-overlapping occurrences, pass two catches
+    * occurrences whose leading boundary pass one's previous match consumed.
+    * On runs of the same character ≥ 6 this diverges from a pure greedy
+    * left-to-right token walk (for 'aaaaaa' under rule (a,a) the chain
+    * yields [aa,a,aa,a] where greedy would give [aa,aa,aa]) — the chain IS
+    * the defined semantics, and the DuckDB oracle replays the identical
+    * chain (round-5 advice: this doc previously claimed greedy
+    * equivalence). Words render as -delimited token strings
     * ("␟t␟h␟e␟"), a rule (t,h) is the literal replace "␟t␟h␟" → "␟th␟" —
     * token-boundary-anchored, so a merged token's tail can never be
     * mistaken for a rule operand. `replace` is non-regex in both engines.

@@ -159,7 +159,9 @@ object UrlOps {
       TextAnalysis.wordsCol(col("text")).as("w"))
     val grams = base.select(
       col("host"),
-      array_distinct(TextAnalysis.gramsCol(col("w"), 3)).as("grams"))
+      // single-pass gram kernel (round 6): bit-identical to the interpreted
+      // gramsCol transform it replaces (KernelEquivalenceSpec)
+      array_distinct(graft.functions.TextKernels.gramStrings(col("w"), 3)).as("grams"))
     val hostTotals = grams.groupBy("host").agg(count(lit(1)).as("n_docs"))
     // explode_outer + null filter: a plain explode would make the optimizer
     // push inferred size/isnotnull filters below the gram projection with

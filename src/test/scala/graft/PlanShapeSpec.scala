@@ -112,8 +112,17 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("kw1: query-term and stats joins broadcast (postings never reshuffle per query)") {
-    val p = planOf("kw1_keyword_search")
-    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the one-shot entry eagerly checkpoints since round 6 (build-cache
+    // lifecycle), so pin the serving seam: index().search() returns the
+    // lazy scoring plan over the persisted postings
+    val idx = graft.operators.KeywordSearch.index(spark,
+      spark.read.parquet(s"$dir/documents.parquet"))
+    try {
+      val p = idx.search(spark, Seq((1L, "spark window batch")), k = 10)
+        .queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    } finally idx.unpersist()
   }
 
   test("kg2: candidate explode is a narrow Generate (adds no shuffle over the resolved frame)") {

@@ -198,32 +198,39 @@ class TextQualitySpec extends AnyFunSuite {
     assert(all == Seq(("ab", 3L), ("ba", 1L), ("yz", 1L)))
   }
 
-  test("d24 bpe apply == independent greedy token-walk replay; merges compress") {
+  test("d24 bpe apply == independent two-pass replace-chain replay; merges compress") {
+    // doc 5 plants a run of 6 identical chars — the case where the defined
+    // two-pass replace-chain semantics DIVERGE from a pure greedy token
+    // walk ('aaaaaa' under rule (a,a): chain → [aa,a,aa,a] = 4, greedy
+    // would give 3; round-5 advice — the replay below implements the chain)
     val fixture = Seq(
       (1L, "the then there"),
       (2L, "aaa aa a"),
       (3L, ""),
-      (4L, "xy xy xy zq"))
+      (4L, "xy xy xy zq"),
+      (5L, "aaaaaa"))
     val docs = fixture.toDF("doc_id", "text")
     val got = TextAnalysis.d24Frame(docs, nMerges = 4)
       .as[(Long, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     // independent replay: train the same ranked merge list from pair
-    // counts, then tokenize by a greedy left-to-right token WALK (not
-    // string replaces) applying rules in rank order
+    // counts, then tokenize with the SAME two-pass non-overlapping replace
+    // chain over the separator-interspersed rendering (java String.replace
+    // == the engines' non-regex replace: all non-overlapping occurrences,
+    // left to right)
     val words = fixture.flatMap(_._2.trim.split("\\s+").filter(_.nonEmpty))
     val counts = words.flatMap(w => w.sliding(2).filter(_.length == 2))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val merges = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(4).map(_._1)
-    def applyRule(toks: List[String], a: String, b: String): List[String] = toks match {
-      case x :: y :: rest if x == a && y == b => (a + b) :: applyRule(rest, a, b)
-      case x :: rest => x :: applyRule(rest, a, b)
-      case Nil => Nil
-    }
+    val SEP = "\u001f"
     def nTokens(w: String): Long = {
-      var t: List[String] = w.map(_.toString).toList
-      merges.foreach(p => t = applyRule(t, p.substring(0, 1), p.substring(1, 2)))
-      t.size.toLong
+      var s = SEP + w.flatMap(c => s"$c$SEP")
+      merges.foreach { p =>
+        val pat = s"$SEP${p.charAt(0)}$SEP${p.charAt(1)}$SEP"
+        val rep = s"$SEP$p$SEP"
+        s = s.replace(pat, rep).replace(pat, rep)
+      }
+      (s.count(_ == SEP.charAt(0)) - 1).toLong
     }
     fixture.foreach { case (id, text) =>
       val ws = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
@@ -233,9 +240,10 @@ class TextQualitySpec extends AnyFunSuite {
     }
     // the trained merges must actually compress: tokens < chars somewhere
     assert(got.values.exists(v => v._3 < v._2))
-    // hand-check: "aaa" under rule (a,a) is greedy-leftmost → [aa, a] = 2
-    // tokens; doc 2 = "aaa aa a" → 2 + 1 + 1 = 4
+    // hand-checks: "aaa" under rule (a,a) → [aa, a] = 2 tokens; doc 2 =
+    // "aaa aa a" → 2 + 1 + 1 = 4. Run-of-6 doc 5: chain → 4, NOT greedy 3.
     assert(got(2L)._3 == 4L)
+    assert(got(5L)._3 == 4L)
   }
 
   test("d19 dsir: target-like docs outweigh off-target docs; empty docs unselected") {
