@@ -131,7 +131,12 @@ object Eval {
     * floating-point ops are two final IEEE divisions per K — deterministic
     * under any partitioning, where the per-query macro average would sum
     * doubles in shuffle order. The recall base n_rel = corpus same-label
-    * count − 1 (the query itself is never a candidate).
+    * count − 1 (the query itself is never a candidate). CONTRACT (round-5
+    * advice): the −1 assumes every query row IS a corpus member — true for
+    * the default corpus-derived query set and for `retrieve`'s
+    * `vec_id != query_id` exclusion; an external `queriesDf` whose
+    * query_ids are not corpus rows must not reuse this curve as-is (its
+    * recall denominator would undercount by one per query).
     *
     * Scale shape: one bounded (query, k) expansion of the ALREADY top-K
     * retrieval scalars (≤ |queries|·kMax rows), the label-count dim and the

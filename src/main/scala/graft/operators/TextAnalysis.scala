@@ -589,7 +589,13 @@ object TextAnalysis {
     def applied(w: Column): Column = {
       val interspersed = concat(lit(SEP), regexp_replace(w, "(.)", "$1" + SEP))
       merges.foldLeft(interspersed) { (s, pair) =>
-        val pat = lit(s"$SEP${pair.charAt(0)}$SEP${pair.charAt(1)}$SEP")
+        // split the pair by CODEPOINT, not UTF-16 code unit: d23 pairs are
+        // codepoint substrings (Spark substring counts codepoints, as does
+        // the oracle's pair[1:1] slice), so a non-BMP character would make
+        // charAt produce lone-surrogate patterns that never match (round-5
+        // advice). BMP corpora are byte-identical either way.
+        val cut = pair.offsetByCodePoints(0, 1)
+        val pat = lit(s"$SEP${pair.substring(0, cut)}$SEP${pair.substring(cut)}$SEP")
         val rep = lit(s"$SEP$pair$SEP")
         val once = call_function("replace", s, pat, rep)
         call_function("replace", once, pat, rep)

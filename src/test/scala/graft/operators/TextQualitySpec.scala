@@ -226,7 +226,8 @@ class TextQualitySpec extends AnyFunSuite {
     def nTokens(w: String): Long = {
       var s = SEP + w.flatMap(c => s"$c$SEP")
       merges.foreach { p =>
-        val pat = s"$SEP${p.charAt(0)}$SEP${p.charAt(1)}$SEP"
+        val cut = p.offsetByCodePoints(0, 1) // codepoint split, as the engine
+        val pat = s"$SEP${p.substring(0, cut)}$SEP${p.substring(cut)}$SEP"
         val rep = s"$SEP$p$SEP"
         s = s.replace(pat, rep).replace(pat, rep)
       }
@@ -244,6 +245,23 @@ class TextQualitySpec extends AnyFunSuite {
     // "aaa aa a" → 2 + 1 + 1 = 4. Run-of-6 doc 5: chain → 4, NOT greedy 3.
     assert(got(2L)._3 == 4L)
     assert(got(5L)._3 == 4L)
+  }
+
+  test("d24: non-BMP merge pairs split by CODEPOINT (round-5 advice)") {
+    // 𝕒 (U+1D552) and 𝕓 (U+1D553) are outside the BMP: d23 pairs are
+    // codepoint substrings, so the rule patterns must split the pair by
+    // codepoint — a charAt (UTF-16 unit) split built lone-surrogate
+    // patterns that never matched and silently disabled every merge
+    val A = new String(Character.toChars(0x1D552))
+    val B = new String(Character.toChars(0x1D553))
+    val docs = Seq((1L, s"$A$B $A$B $A$B$A$B")).toDF("doc_id", "text")
+    val got = TextAnalysis.d24Frame(docs, nMerges = 1)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    // words have 2+2+4 codepoints; the one trained rule is (𝕒,𝕓) with
+    // count 4 → tokens [𝕒𝕓], [𝕒𝕓], [𝕒𝕓,𝕒𝕓] = 1+1+2
+    assert(got._2 == 3L, s"n_words: $got")
+    assert(got._3 == 8L, s"n_chars counts codepoints: $got")
+    assert(got._4 == 4L, s"merges must fire on non-BMP pairs: $got")
   }
 
   test("d19 dsir: target-like docs outweigh off-target docs; empty docs unselected") {
