@@ -62,6 +62,67 @@ object PlanDumpR06 {
     dump("d21_dup_span_removal",
       graft.operators.TextAnalysis.d21Plan(docs, staged18, 3))
 
+    // d22's round-6 change is confined to the staged gram projection (the
+    // persist hides it from the entry plan): dump BOTH variants of that
+    // projection so the kernel swap is visible side by side
+    if (tag == "after") {
+      def gramsColPortable(w: Column, n: Int): Column =
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)))
+          .otherwise(typedLit(Seq.empty[String]))
+      dump("d22_gram_stage", docs.select(col("doc_id"),
+        array_distinct(graft.functions.TextKernels.gramStrings(
+          wordsCol(col("text")), 3)).as("grams")))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get("plans/r06/d22_gram_stage_after.txt"),
+        java.nio.file.Paths.get("plans/r06/d22_bloom_decontaminate_after.txt"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dump("d22_gram_stage", docs.select(col("doc_id"),
+        array_distinct(gramsColPortable(wordsCol(col("text")), 3)).as("grams")))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get("plans/r06/d22_gram_stage_after.txt"),
+        java.nio.file.Paths.get("plans/r06/d22_bloom_decontaminate_before.txt"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+      // kg15's round-6 change swaps the per-iteration left join's probe
+      // side from the persisted node set to the previous rank frame — the
+      // saving only shows inside a CHAINED multi-iteration plan (where the
+      // previous round's join output partitioning is known), so both
+      // 3-iteration chains are reconstructed over the same edge fixture:
+      // the before variant carries one extra node-set Exchange per round
+      // (15 vs 11 "Exchange hashpartitioning" occurrences at 3 rounds)
+      val edges = spark.range(600).select(
+        concat(lit("Q"), col("id") % 90).as("src"),
+        concat(lit("Q"), (col("id") * 7) % 110).as("dst")).distinct()
+        .localCheckpoint(true)
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      val edgesOd = edges.join(outdeg, Seq("src")).persist()
+      val nodes = edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id"))).distinct().persist()
+      edgesOd.count(); nodes.count()
+      def chain(useRanks: Boolean, iters: Int) = {
+        var ranks = nodes.withColumn("rank", lit(1000000L)).localCheckpoint(true)
+        for (_ <- 1 to iters) {
+          val contribs = edgesOd.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+            .select(col("dst").as("id"), expr("rank div od").as("c"))
+            .groupBy("id").agg(sum(col("c")).as("sc"))
+          val probe = if (useRanks) ranks.select(col("id")) else nodes
+          ranks = probe.join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              (lit(10L) + expr("(coalesce(sc, 0L) * 85) div 100")).as("rank"))
+        }
+        ranks
+      }
+      dump("kg15_pagerank", chain(useRanks = false, 3))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get("plans/r06/kg15_pagerank_after.txt"),
+        java.nio.file.Paths.get("plans/r06/kg15_pagerank_before.txt"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dump("kg15_pagerank", chain(useRanks = true, 3))
+      edgesOd.unpersist(); nodes.unpersist()
+    }
+
     // the kg30 walk-hop seam (the walk loop materializes each frontier, so
     // the entry plan above shows only the union of materialized levels;
     // this is the per-hop plan the GraphOpsSpec pin also asserts on)
