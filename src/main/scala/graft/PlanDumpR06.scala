@@ -41,7 +41,8 @@ object PlanDumpR06 {
     // pins — the before file holds the old full entry plan
     Seq("d12_decontaminate", "d20_winnow_fingerprints", "s8_ann_pq",
       "s9_ann_ivfpq", "s10_ann_recall_audit", "kg30_walks", "kg31_walk_pairs",
-      "w4_host_boilerplate", "kw1_keyword_search")
+      "w4_host_boilerplate", "kw1_keyword_search",
+      "s2_ann_lsh", "s4_embedding_neardup_lsh")
       .foreach(n => dump(n, SparkEntry.queries(n)(spark, dir)))
 
     // checkpointed entries: dump the inner seam the entry materializes,

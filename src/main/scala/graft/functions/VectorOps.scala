@@ -110,6 +110,51 @@ case class FloatDoubleDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-LSH bucket id in one pass: bit b of the result is the sign of the
+  * projection of the float vector onto plane b — bit-identical to the
+  * portable `(0 until bits).map(b => when(fddot(v, planeLit_b) >= 0,
+  * lit(1 << b)).otherwise(0)).reduce(_ + _)` form (same fddot arithmetic:
+  * float widened to double, double accumulate, length = min of the two),
+  * including its null contract (a null vector buckets to 0, the portable
+  * chain's `otherwise` path). The portable form built bits × dim literal
+  * nodes per bucket column — at 6 tables × 10 bits × 64 dims per join side
+  * that was a ~100 KB plan per LSH query, seconds of analysis per run and
+  * megabyte task binaries (round 6; the s8/s9 PqKernels finding applied to
+  * the LSH family).
+  */
+case class SignBucket(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_sign_bucket"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vv = child.eval(input)
+    if (vv == null) return 0 // the portable when-chain's otherwise(0) path
+    val v = vv.asInstanceOf[ArrayData]
+    var bucket = 0
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) acc += v.getFloat(i).toDouble * p(i)
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
 
   /** Register `graft_fdot` for SQL use (idempotent). */
@@ -126,6 +171,10 @@ object VectorOps {
     */
   def fddot(a: Column, b: Column): Column =
     Bridge.column(FloatDoubleDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** All-planes sign-LSH bucket id (one expression node — see [[SignBucket]]). */
+  def signBucket(v: Column, planes: Array[Array[Double]]): Column =
+    Bridge.column(SignBucket(Bridge.expression(v), planes))
 
   /** The portable higher-order-function formulation (same arithmetic). */
   def portableDot(a: Column, b: Column): Column = {

@@ -83,14 +83,15 @@ object Similarity {
     * `aggregate(zip_with(...))` was the LSH paths' per-row hot cost).
     */
   def lshBucket(v: Column, dimLen: Int, bits: Int, seed: Long): Column = {
-    // plane(b)(i) deterministic from (seed, b, i); sign of projection = bit b
-    val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
-      (0 until dimLen).map(i => planeCoord(seed, b, i))
-    }
-    (0 until bits).map { b =>
-      val proj = graft.functions.VectorOps.fddot(v, array(planes(b).map(lit): _*))
-      when(proj >= 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+    // plane(b)(i) deterministic from (seed, b, i); sign of projection = bit b.
+    // One SignBucket kernel node per bucket column (round 6): the portable
+    // per-bit when(fddot(v, literal-plane) >= 0) chain carried bits × dimLen
+    // literal nodes per column — ~100 KB formatted plans and seconds of
+    // analysis per LSH query; arithmetic is bit-identical
+    // (KernelEquivalenceSpec).
+    val planes: Array[Array[Double]] = Array.tabulate(bits, dimLen)(
+      (b, i) => planeCoord(seed, b, i))
+    graft.functions.VectorOps.signBucket(v, planes)
   }
 
   /** LSH-bucketed ANN: same-bucket candidate join + exact re-rank.

@@ -182,7 +182,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = graft.link.Linker.linkLshFrame(ments, ents, k = 5, bits = 4, tables = 2, dimLen = 2)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(p.contains("graft_fddot"), p.take(1200)) // plane projections codegen'd
+    // plane projections ride the single-node SignBucket kernel (round 6 —
+    // the per-bit fddot literal chains cost ~100 KB of plan per LSH query)
+    assert(p.contains("graft_sign_bucket"), p.take(1200))
     assert(p.contains("ShuffledHashJoin"),
       "bucket rendezvous must hash, not sort embedding payloads:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))

@@ -133,6 +133,24 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       portable.as("b")))
   }
 
+  test("SignBucket == per-bit when(fddot >= 0) literal-chain form") {
+    val dim = 8; val bits = 6
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        (((i * 31 + j * 17) % 29 - 14).toFloat / 7f)))
+    }.toDF("vec_id", "v").withColumn("v", col("v").cast("array<float>"))
+    for (seed <- Seq(42L, 7L, 91L)) {
+      val planes: Array[Array[Double]] = Array.tabulate(bits, dim)(
+        (b, i) => graft.operators.Similarity.planeCoord(seed, b, i))
+      val portable = (0 until bits).map { b =>
+        val proj = VectorOps.fddot(col("v"), array(planes(b).map(lit): _*))
+        when(proj >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+      assertSame(vecs.select(
+        VectorOps.signBucket(col("v"), planes).as("a"), portable.as("b")))
+    }
+  }
+
   test("PqCodes / PqLut / L2Dists / SubCentroid == literal-tree forms") {
     val dim = 16; val m = 4; val dsub = 4; val ksub = 3
     val vecs = (0 until 40).map { i =>
